@@ -1,0 +1,100 @@
+"""Configuration for the stereo pipeline.
+
+The reference hard-codes its parameters as compile-time constants
+(``src/stereo.c:6-10``: NUM_SHIFTS 30, DEFAULT_THRESHOLD 0.15,
+DEFAULT_SQUARE_WIDTH 21, DEFAULT_TIMES 32, DEFAULT_LINES 10) and takes
+overrides for all but NUM_SHIFTS as positional argv
+(``src/stereo.c:335-386``).  Here everything — including the number of
+shifts/disparities — is a runtime parameter carried in one frozen
+dataclass, serializable to/from JSON, validated with the same rules the
+reference's ``main()`` enforces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Any
+
+# Reference defaults (src/stereo.c:6-10).
+NUM_SHIFTS = 30
+DEFAULT_THRESHOLD = 0.15
+DEFAULT_SQUARE_WIDTH = 21
+DEFAULT_TIMES = 32
+DEFAULT_LINES = 10
+
+# Fill value for the 1-px brightness halo in ghost mode
+# (src/stereo-ghost.c:384-385 pads with 128.0 — deliberately out-of-band
+# for [0,1) data, reproduced verbatim for golden-match of border pixels).
+GHOST_BRIGHTNESS_FILL = 128.0
+
+
+class BoundaryMode(str, enum.Enum):
+    """Boundary handling, mirroring the reference's two program families.
+
+    WRAP  — modulo wrap-around indexing (src/util.h:42-47, used by
+            ``stereomatch`` / ``stereopar``).
+    GHOST — ghost-area (halo) padding: brightness halo of 1 filled with
+            128.0, edge halo of ``num_shifts`` filled 0, match halo of
+            ``square_width`` filled 0 (src/ghost.h, src/stereo-ghost.c:11-12).
+    """
+
+    WRAP = "wrap"
+    GHOST = "ghost"
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoParams:
+    """Algorithm parameters (reference ``AlgorithmParams``, src/stereo.c:280-285,
+    plus the compile-time constants promoted to runtime values)."""
+
+    threshold: float = DEFAULT_THRESHOLD
+    square_width: int = DEFAULT_SQUARE_WIDTH
+    times: int = DEFAULT_TIMES
+    lines: int = DEFAULT_LINES
+    num_shifts: int = NUM_SHIFTS
+    mode: BoundaryMode = BoundaryMode.WRAP
+
+    def __post_init__(self) -> None:
+        # Same validation as the reference CLI (src/stereo.c:378-385),
+        # minus the image-size check which needs the images (see
+        # ``validate_for_image``).
+        if not (0.0 <= self.threshold <= 1.0):
+            raise ValueError("threshold must be between 0 and 1")
+        if self.square_width < 1 or self.square_width % 2 == 0:
+            raise ValueError("square_width must be a positive odd integer")
+        if self.times < 0:
+            raise ValueError("times must be non-negative")
+        if self.lines < 1:
+            raise ValueError("lines must be positive")
+        if self.num_shifts < 1:
+            raise ValueError("num_shifts must be positive")
+
+    @property
+    def half(self) -> int:
+        """Half window width (src/stereo.c:135)."""
+        return self.square_width // 2
+
+    def validate_for_image(self, width: int, height: int) -> None:
+        """Reference check: square width must fit in the image
+        (src/stereo.c:382-385)."""
+        if self.square_width > width or self.square_width > height:
+            raise ValueError(
+                "square width must not be higher than image width/height"
+            )
+
+    def replace(self, **kwargs: Any) -> "StereoParams":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mode"] = self.mode.value
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "StereoParams":
+        d = json.loads(s)
+        if "mode" in d:
+            d["mode"] = BoundaryMode(d["mode"])
+        return cls(**d)

@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests emulate an
+8-device mesh on CPU (the analogue of the reference testing its CUDA
+programs against serial C on one box, test/diff.sh).  Must run before any
+jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# f64 available for exact-vs-C-double oracle comparisons.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
