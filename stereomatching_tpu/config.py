@@ -55,6 +55,19 @@ class StereoParams:
     lines: int = DEFAULT_LINES
     num_shifts: int = NUM_SHIFTS
     mode: BoundaryMode = BoundaryMode.WRAP
+    # Edge-decision arithmetic:
+    #  "reference" — float ops in the C reference's exact order
+    #    (src/stereo.c:16-70).  Bit-identical to the C binaries when run
+    #    in float64 with correctly-rounded division (the NumPy oracle);
+    #    accelerator backends may approximate division (XLA lowers /3.0
+    #    to a reciprocal multiply), flipping knife-edge tie pixels
+    #    (~1e-4 of pixels on the reference fixtures).
+    #  "exact" — the same predicate in real arithmetic, rescaled to
+    #    integers so the only float op is one IEEE multiply:
+    #    2*|ka-kb| > min(f32(threshold) * (ka+kb), 1536) where
+    #    ka/kb are integer 3-pixel sums of (brightness*256).
+    #    Bit-identical across every backend and tier.
+    edge_rule: str = "reference"
 
     def __post_init__(self) -> None:
         # Same validation as the reference CLI (src/stereo.c:378-385),
@@ -70,6 +83,8 @@ class StereoParams:
             raise ValueError("lines must be positive")
         if self.num_shifts < 1:
             raise ValueError("num_shifts must be positive")
+        if self.edge_rule not in ("reference", "exact"):
+            raise ValueError("edge_rule must be 'reference' or 'exact'")
 
     @property
     def half(self) -> int:

@@ -1,0 +1,19 @@
+"""End-to-end stereo models.
+
+``classic``  — the reference pipeline (edge matching + contour map),
+               single-chip jitted, batched via vmap.
+``modern``   — the extended pipeline (SAD cost volume, LR consistency,
+               sub-pixel refinement, multi-scale).
+"""
+
+from stereomatching_tpu.models.classic import (
+    classic_forward,
+    build_classic_pipeline,
+    build_classic_collect_pipeline,
+)
+
+__all__ = [
+    "classic_forward",
+    "build_classic_pipeline",
+    "build_classic_collect_pipeline",
+]

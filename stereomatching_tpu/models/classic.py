@@ -1,0 +1,91 @@
+"""The classic pipeline — single-chip JAX/XLA tier.
+
+One jitted function covering the reference's whole ``algorithm()``
+(src/stereo.c:287-333): edges -> shift matching + windowed scoring +
+argmax (fused scan, ops/argmax.py) -> diffusion -> contour.  Both
+boundary modes.  Batched via vmap over a leading pairs axis.
+
+The distributed tier (parallel/) shards this same computation over a
+(data, rows) mesh; the Pallas tier (ops/fused.py) replaces the scan body
+with a VMEM-resident fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from stereomatching_tpu.config import StereoParams
+from stereomatching_tpu.ops.argmax import match_and_score, match_and_score_collect
+from stereomatching_tpu.ops.contour import draw_contour
+from stereomatching_tpu.ops.diffusion import fill_web_holes
+from stereomatching_tpu.ops.edges import find_edges
+
+
+def classic_forward(
+    left: jnp.ndarray, right: jnp.ndarray, params: StereoParams
+) -> Dict[str, jnp.ndarray]:
+    """Full pipeline on one brightness pair [H, W] -> artifact dict.
+    Trace-time params; wrap in jit via ``build_classic_pipeline``."""
+    edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
+    edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
+    best, winner = match_and_score(edges_l, edges_r, params)
+    web = fill_web_holes(winner, params.times)
+    out, min_e, max_e = draw_contour(web, params.lines)
+    return {
+        "edges-1": edges_l,
+        "edges-2": edges_r,
+        "score_best": best,
+        "web-1": winner,
+        "web-2": web,
+        "output-0": out,
+        "min_elevation": min_e,
+        "max_elevation": max_e,
+    }
+
+
+def build_classic_pipeline(
+    params: StereoParams, batched: bool = False
+) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Jitted pipeline for fixed params.  With ``batched=True`` the inputs
+    carry a leading pairs axis [B, H, W] (the throughput mode of
+    BASELINE.md config 4) — per-pair contour min/max via vmap."""
+    fn = functools.partial(classic_forward, params=params)
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)
+
+
+def build_classic_collect_pipeline(
+    params: StereoParams,
+) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Artifact-collecting variant: additionally returns the stacked
+    per-shift planes (matches/score_all/scores, [D, H, W]) the reference
+    dumps in debug builds — the cross-implementation golden surface."""
+
+    def forward(left: jnp.ndarray, right: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
+        edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
+        matches, sums, scores, best, winner = match_and_score_collect(
+            edges_l, edges_r, params
+        )
+        web = fill_web_holes(winner, params.times)
+        out, min_e, max_e = draw_contour(web, params.lines)
+        return {
+            "edges-1": edges_l,
+            "edges-2": edges_r,
+            "matches": matches,
+            "score_all": sums,
+            "scores": scores,
+            "score_best": best,
+            "web-1": winner,
+            "web-2": web,
+            "output-0": out,
+            "min_elevation": min_e,
+            "max_elevation": max_e,
+        }
+
+    return jax.jit(forward)

@@ -70,6 +70,7 @@ def find_edges(
     threshold: float,
     mode: BoundaryMode = BoundaryMode.WRAP,
     dtype: np.dtype = np.dtype(np.float64),
+    rule: str = "reference",
 ) -> np.ndarray:
     """Step 1 — binary edge map (``find_all_edges``, src/stereo.c:72-84).
 
@@ -77,7 +78,16 @@ def find_edges(
     absolute difference of the two 3-pixel side means exceeds
     ``clamp(threshold * overall_mean, 0, 1)`` (src/stereo.c:26-27).
     Returns uint8 in {0, 1}, shape [H, W].
+
+    ``rule="reference"`` follows the C float operation order exactly;
+    ``rule="exact"`` evaluates the equivalent real-arithmetic predicate
+    2*|ka-kb| > min(f32(threshold)*(ka+kb), 1536) on integer pixel sums
+    (ka = 3-pixel sum of brightness*256) — bit-deterministic across every
+    backend because the only rounded float op is one IEEE multiply
+    (see config.StereoParams.edge_rule).
     """
+    if rule == "exact":
+        return _find_edges_exact(brightness, threshold, mode)
     dtype = np.dtype(dtype)
     p = _pad_for_stencil(brightness, mode, dtype)
     h, w = brightness.shape
@@ -99,6 +109,36 @@ def find_edges(
         overall = (avg_a + avg_b) / two
         bound = np.clip(thr * overall, zero, one)
         edges |= np.abs(avg_a - avg_b) > bound
+    return edges.astype(np.uint8)
+
+
+def _find_edges_exact(
+    brightness: np.ndarray, threshold: float, mode: BoundaryMode
+) -> np.ndarray:
+    """The 'exact' edge rule: integer 3-pixel sums, one f32 multiply.
+
+    Derivation: with S = k/256 (k the integer 3-pixel sum of 8-bit pixel
+    values; the ghost halo's 128.0 contributes k=32768/pixel), the C
+    predicate |Sa/3 - Sb/3| > clamp(t*(Sa/3+Sb/3)/2, 0, 1) rescaled by
+    1536 becomes 2*|ka-kb| > min(t*(ka+kb), 1536).  ka+kb < 2^18 is exact
+    in f32 and the single multiply is IEEE-rounded identically on every
+    backend.
+    """
+    p = _pad_for_stencil(brightness, mode, np.dtype(np.float64))
+    k = np.rint(p * 256.0).astype(np.int32)
+    h, w = brightness.shape
+
+    def nb(dx: int, dy: int) -> np.ndarray:
+        return k[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    t32 = np.float32(threshold)
+    edges = np.zeros((h, w), dtype=bool)
+    for side_a, side_b in _EDGE_OPERATORS:
+        ka = nb(*side_a[0]) + nb(*side_a[1]) + nb(*side_a[2])
+        kb = nb(*side_b[0]) + nb(*side_b[1]) + nb(*side_b[2])
+        lhs = (2 * np.abs(ka - kb)).astype(np.float32)
+        rhs = np.minimum(t32 * (ka + kb).astype(np.float32), np.float32(1536.0))
+        edges |= lhs > rhs
     return edges.astype(np.uint8)
 
 
@@ -269,8 +309,8 @@ def run_pipeline(
     params.validate_for_image(w, h)
     mode = params.mode
 
-    edges_l = find_edges(left, params.threshold, mode, dtype)
-    edges_r = find_edges(right, params.threshold, mode, dtype)
+    edges_l = find_edges(left, params.threshold, mode, dtype, params.edge_rule)
+    edges_r = find_edges(right, params.threshold, mode, dtype, params.edge_rule)
     matches = fill_matches(edges_l, edges_r, params.num_shifts, mode)
     sums = np.stack(
         [box_sum(matches[i], params.square_width, mode) for i in range(params.num_shifts)]

@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # f64 available for exact-vs-C-double oracle comparisons.
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# Persistent compilation cache: the differential tests compile many small
+# pipelines; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
