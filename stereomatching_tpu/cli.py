@@ -1,0 +1,207 @@
+"""Command-line pipeline driver — the reference's program surface.
+
+Replaces all four reference binaries with one command:
+
+    python -m stereomatching_tpu.cli IMG1 IMG2 [threshold] [square_width]
+        [times] [lines] [--mode wrap|ghost] [--tier jax|oracle|sharded] ...
+
+Positional arguments, validation messages, artifact dumps, and the final
+timing line (``width = %d, height = %d, t1 = %f, t2 = %f, elapsed = %f``,
+src/stereo.c:324 — field 15 is what the reference's test/time.sh awk
+script extracts) are kept compatible with the reference CLI
+(src/stereo.c:335-392) so its measurement harness works unmodified.
+
+Tier selection replaces the reference's four separate binaries:
+  oracle  — pure NumPy serial oracle (the role of ``stereomatch``)
+  jax     — single-chip jitted XLA pipeline (the role of ``stereopar``)
+  sharded — shard_map over every visible device with ppermute halo
+            exchange (the scaled-out ghost-area programs)
+Boundary mode is ``--mode`` (wrap == stereomatch/stereopar semantics,
+ghost == the -ghost programs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from stereomatching_tpu.config import BoundaryMode, StereoParams
+from stereomatching_tpu.utils.imageio import (
+    artifact_ppm_type,
+    read_png_gray,
+    to_brightness,
+    write_ppm,
+)
+
+
+def _parse(argv: Sequence[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="stereomatch-tpu",
+        description="TPU-native stereo matching / contour mapping pipeline",
+    )
+    p.add_argument("image1")
+    p.add_argument("image2")
+    p.add_argument("threshold", nargs="?", type=float, default=None)
+    p.add_argument("square_width", nargs="?", type=int, default=None)
+    p.add_argument("times", nargs="?", type=int, default=None)
+    p.add_argument("lines", nargs="?", type=int, default=None)
+    p.add_argument("--mode", choices=["wrap", "ghost"], default="wrap")
+    p.add_argument("--tier", choices=["jax", "oracle", "sharded"], default="jax")
+    p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
+    p.add_argument("--shifts", type=int, default=None, help="number of disparities")
+    p.add_argument("--outdir", default=".", help="artifact output directory")
+    p.add_argument(
+        "--no-writes",
+        action="store_true",
+        help="skip all image writes (the reference's -DNO_WRITES timing build)",
+    )
+    p.add_argument(
+        "--collect",
+        action="store_true",
+        help="also dump per-shift matches/score_all/scores planes "
+        "(the reference's DEBUG build dumps)",
+    )
+    return p.parse_args(argv)
+
+
+def _build_params(args: argparse.Namespace) -> StereoParams:
+    kw = {"mode": BoundaryMode(args.mode), "edge_rule": args.edge_rule}
+    if args.threshold is not None:
+        kw["threshold"] = args.threshold
+    if args.square_width is not None:
+        kw["square_width"] = args.square_width
+    if args.times is not None:
+        kw["times"] = args.times
+    if args.lines is not None:
+        kw["lines"] = args.lines
+    if args.shifts is not None:
+        kw["num_shifts"] = args.shifts
+    return StereoParams(**kw)
+
+
+def _run_oracle(left, right, params, collect):
+    from stereomatching_tpu.oracle import pipeline as oracle
+
+    return oracle.run_pipeline(
+        left.astype(np.float64), right.astype(np.float64), params, collect=collect
+    )
+
+
+def _ensure_platform():
+    """Honor JAX_PLATFORMS even when a site hook has pinned the platform
+    via jax.config (config wins over the env var in that case)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
+def _run_jax(left, right, params, collect):
+    _ensure_platform()
+    import jax
+
+    from stereomatching_tpu.models.classic import (
+        build_classic_collect_pipeline,
+        build_classic_pipeline,
+    )
+
+    fn = (
+        build_classic_collect_pipeline(params)
+        if collect
+        else build_classic_pipeline(params)
+    )
+    out = jax.device_get(fn(left, right))
+    arts = dict(out)
+    if collect:
+        for key in ("matches", "score_all", "scores"):
+            planes = arts.pop(key)
+            for i in range(planes.shape[0]):
+                arts[f"{key}-{i}"] = planes[i]
+    return arts
+
+
+def _run_sharded(left, right, params, collect):
+    _ensure_platform()
+    import jax
+
+    from stereomatching_tpu.parallel import build_sharded_pipeline, make_mesh
+
+    n = len(jax.devices())
+    h = left.shape[0]
+    rows = n
+    while rows > 1 and (h % rows != 0 or h // rows < max(params.half, 1)):
+        rows -= 1
+    mesh = make_mesh(data=1, rows=rows, devices=jax.devices()[:rows])
+    fn = build_sharded_pipeline(params, mesh)
+    out = jax.device_get(fn(left[None], right[None]))
+    return {k: np.asarray(v)[0] for k, v in out.items()}
+
+
+_TIERS = {"oracle": _run_oracle, "jax": _run_jax, "sharded": _run_sharded}
+
+
+def _dump(arts: Dict[str, np.ndarray], outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    for name, data in arts.items():
+        if name in ("min_elevation", "max_elevation"):
+            continue
+        # The reference suffixes score_best with -0 (src/stereo.c:314).
+        fname = "score_best-0" if name == "score_best" else name
+        write_ppm(
+            os.path.join(outdir, f"{fname}.ppm"),
+            np.asarray(data),
+            artifact_ppm_type(fname),
+        )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = _parse(argv if argv is not None else sys.argv[1:])
+
+    try:
+        img1 = read_png_gray(args.image1)
+        img2 = read_png_gray(args.image2)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if img1.shape != img2.shape:
+        # Same message as the reference (src/stereo.c:350).
+        print(
+            "error: the two images must have equal width and height",
+            file=sys.stderr,
+        )
+        return 1
+    try:
+        params = _build_params(args)
+        params.validate_for_image(img1.shape[1], img1.shape[0])
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    dtype = np.float64 if args.tier == "oracle" else np.float32
+    left = to_brightness(img1, dtype)
+    right = to_brightness(img2, dtype)
+
+    # Timing mirrors the reference: excludes image load, includes artifact
+    # writes unless --no-writes (src/stereo.c:297-324, Makefile:23).
+    t1 = time.monotonic()
+    arts = _TIERS[args.tier](left, right, params, args.collect)
+    if not args.no_writes:
+        _dump(arts, args.outdir)
+    t2 = time.monotonic()
+
+    h, w = img1.shape
+    print(
+        f"width = {w}, height = {h}, t1 = {t1:f}, t2 = {t2:f}, "
+        f"elapsed = {t2 - t1:f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,3 +113,35 @@ class StereoParams:
         if "mode" in d:
             d["mode"] = BoundaryMode(d["mode"])
         return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModernParams:
+    """Parameters for the modern SAD stereo pipeline (models/modern.py) —
+    the BASELINE.md north-star extensions beyond the reference: windowed
+    SAD cost volume, left-right consistency, sub-pixel parabola refine,
+    multi-scale cost fusion."""
+
+    num_disparities: int = 64
+    window: int = 9
+    lr_max_diff: int = 1  # LR consistency tolerance in pixels
+    fill_iterations: int = 16  # diffusion sweeps for invalidated pixels
+    scales: int = 1  # 1 = single scale; 2 = fuse a half-res cost pyramid
+    coarse_weight: int = 1  # integer weight of the upsampled coarse cost
+
+    def __post_init__(self) -> None:
+        if self.num_disparities < 2:
+            raise ValueError("num_disparities must be >= 2")
+        if self.window < 1 or self.window % 2 == 0:
+            raise ValueError("window must be a positive odd integer")
+        if self.scales not in (1, 2):
+            raise ValueError("scales must be 1 or 2")
+        if self.lr_max_diff < 0 or self.fill_iterations < 0:
+            raise ValueError("lr_max_diff/fill_iterations must be >= 0")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModernParams":
+        return cls(**json.loads(s))

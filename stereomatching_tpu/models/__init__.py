@@ -11,9 +11,17 @@ from stereomatching_tpu.models.classic import (
     build_classic_pipeline,
     build_classic_collect_pipeline,
 )
+from stereomatching_tpu.models.modern import (
+    modern_forward,
+    build_modern_pipeline,
+    disparity_one_view,
+)
 
 __all__ = [
     "classic_forward",
     "build_classic_pipeline",
     "build_classic_collect_pipeline",
+    "modern_forward",
+    "build_modern_pipeline",
+    "disparity_one_view",
 ]

@@ -26,13 +26,23 @@ from stereomatching_tpu.ops.edges import find_edges
 
 
 def classic_forward(
-    left: jnp.ndarray, right: jnp.ndarray, params: StereoParams
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoParams,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on one brightness pair [H, W] -> artifact dict.
-    Trace-time params; wrap in jit via ``build_classic_pipeline``."""
+    Trace-time params; wrap in jit via ``build_classic_pipeline``.
+    ``use_pallas`` routes the fused cost-volume phase through the VMEM
+    Pallas kernel (ops/fused.py) instead of the XLA scan."""
     edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
     edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
-    best, winner = match_and_score(edges_l, edges_r, params)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused import match_and_score_pallas
+
+        best, winner = match_and_score_pallas(edges_l, edges_r, params)
+    else:
+        best, winner = match_and_score(edges_l, edges_r, params)
     web = fill_web_holes(winner, params.times)
     out, min_e, max_e = draw_contour(web, params.lines)
     return {
@@ -48,12 +58,12 @@ def classic_forward(
 
 
 def build_classic_pipeline(
-    params: StereoParams, batched: bool = False
+    params: StereoParams, batched: bool = False, use_pallas: bool = False
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Jitted pipeline for fixed params.  With ``batched=True`` the inputs
     carry a leading pairs axis [B, H, W] (the throughput mode of
     BASELINE.md config 4) — per-pair contour min/max via vmap."""
-    fn = functools.partial(classic_forward, params=params)
+    fn = functools.partial(classic_forward, params=params, use_pallas=use_pallas)
     if batched:
         fn = jax.vmap(fn)
     return jax.jit(fn)

@@ -1,0 +1,150 @@
+"""The modern stereo pipeline: windowed SAD + LR consistency + sub-pixel
+refine + optional multi-scale cost fusion.
+
+The BASELINE.md north-star extension of the classic binary edge matcher:
+same TPU-first structure (one fused scan over disparities, no [D, H, W]
+volume in HBM; see ops/costvolume.py), but matching 8-bit intensities
+instead of binary edges, producing float sub-pixel disparity maps with a
+validity channel.
+
+All costs are exact int32 (absolute differences of integer pixel values,
+integer box sums, integer pyramid weights), so integer disparities are
+bit-identical on every backend/tier; only the final parabola offset and
+the hole-filling diffusion are float32.
+
+Multi-scale (scales=2) fuses a half-resolution cost pyramid: the cost of
+disparity d adds ``coarse_weight`` x the upsampled aggregated cost of
+disparity d//2 computed on 2x2-block-summed images — a static-shape
+cost-volume-pyramid fusion (no data-dependent gathers, unlike classic
+coarse-to-fine warping, so it maps cleanly onto XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from stereomatching_tpu.config import ModernParams
+from stereomatching_tpu.ops.costvolume import (
+    DisparityResult,
+    _aggregate,
+    _extend_left,
+    _extend_right,
+    argmin_subpixel_scan,
+    fill_invalid,
+    lr_consistency,
+)
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 block sum (exact integer downsample); odd edges replicate."""
+    h, w = img.shape
+    img = jnp.pad(img, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]
+    )
+
+
+def _upsample2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+def _cost_fn(
+    ref: jnp.ndarray,
+    other: jnp.ndarray,
+    params: ModernParams,
+    reference: str,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build the per-disparity aggregated-cost callback for the scan."""
+    h, w = ref.shape
+    half = params.window // 2
+    d_count = params.num_disparities
+    extend = _extend_left if reference == "left" else _extend_right
+    other_ext = extend(other, d_count)
+
+    def window_at(ext, d, shape, count):
+        offset = (count - d) if reference == "left" else d
+        return jax.lax.dynamic_slice(
+            ext, (jnp.zeros((), d.dtype), offset), shape
+        )
+
+    if params.scales == 1:
+        def cost_at(d):
+            win = window_at(other_ext, d, (h, w), d_count)
+            return _aggregate(jnp.abs(ref - win), half)
+
+        return cost_at
+
+    # scales == 2: half-res pyramid level, fused by integer weight.
+    ref_c = _downsample2(ref)
+    other_c = _downsample2(other)
+    hc, wc = ref_c.shape
+    dc_count = -(-d_count // 2)
+    other_c_ext = extend(other_c, dc_count)
+    weight = jnp.int32(params.coarse_weight)
+
+    def cost_at(d):
+        win = window_at(other_ext, d, (h, w), d_count)
+        fine = _aggregate(jnp.abs(ref - win), half)
+        win_c = window_at(other_c_ext, d // 2, (hc, wc), dc_count)
+        coarse = _aggregate(jnp.abs(ref_c - win_c), half)
+        return fine + weight * _upsample2(coarse, h, w)
+
+    return cost_at
+
+
+def disparity_one_view(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    reference: str = "left",
+) -> DisparityResult:
+    """Fused disparity for one reference view; pixel planes are integer
+    intensities 0..255, [H, W].  Left reference matches L(x) vs R(x-d);
+    right reference matches R(x) vs L(x+d)."""
+    if reference == "left":
+        ref, other = left, right
+    elif reference == "right":
+        ref, other = right, left
+    else:
+        raise ValueError(reference)
+    ref = ref.astype(jnp.int32)
+    other = other.astype(jnp.int32)
+    cost_at = _cost_fn(ref, other, params, reference)
+    return argmin_subpixel_scan(cost_at, params.num_disparities, ref.shape)
+
+
+def modern_forward(
+    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+) -> Dict[str, jnp.ndarray]:
+    """Full modern pipeline on one pair of integer intensity planes
+    [H, W] (uint8 pixel values; pass ``pixels`` not brightness).
+
+    Returns: disparity (int32), subpixel (f32), disparity_right (int32),
+    valid (bool, LR-consistent), filled (f32: subpixel with invalid
+    pixels diffused from valid neighbors), cost (int32 at the winner).
+    """
+    dl = disparity_one_view(left, right, params, "left")
+    dr = disparity_one_view(left, right, params, "right")
+    valid = lr_consistency(dl.disparity, dr.disparity, params.lr_max_diff)
+    filled = fill_invalid(dl.subpixel, valid, params.fill_iterations)
+    return {
+        "disparity": dl.disparity,
+        "subpixel": dl.subpixel,
+        "disparity_right": dr.disparity,
+        "valid": valid,
+        "filled": filled,
+        "cost": dl.cost,
+    }
+
+
+def build_modern_pipeline(
+    params: ModernParams, batched: bool = False
+) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    fn = functools.partial(modern_forward, params=params)
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)

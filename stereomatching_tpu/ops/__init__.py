@@ -12,6 +12,13 @@ from stereomatching_tpu.ops.aggregate import box_sum
 from stereomatching_tpu.ops.argmax import match_and_score, match_and_score_collect
 from stereomatching_tpu.ops.diffusion import fill_web_holes
 from stereomatching_tpu.ops.contour import draw_contour
+from stereomatching_tpu.ops.fused import match_and_score_pallas
+from stereomatching_tpu.ops.costvolume import (
+    argmin_subpixel_scan,
+    sad_disparity,
+    lr_consistency,
+    fill_invalid,
+)
 
 __all__ = [
     "find_edges",
@@ -22,4 +29,9 @@ __all__ = [
     "match_and_score_collect",
     "fill_web_holes",
     "draw_contour",
+    "match_and_score_pallas",
+    "argmin_subpixel_scan",
+    "sad_disparity",
+    "lr_consistency",
+    "fill_invalid",
 ]

@@ -27,11 +27,18 @@ def pad_plane(
 
 
 def box_sum_padded(padded: jnp.ndarray, half: int) -> jnp.ndarray:
-    """Box sum over an already ``half``-padded plane -> int32 [H, W]."""
+    """Box sum over an already ``half``-padded plane (last two axes)
+    -> int32 [..., H, W].  Leading batch/shard dims pass through."""
     k = 2 * half + 1
-    sat = padded.astype(jnp.int32).cumsum(axis=0).cumsum(axis=1)
-    sat = jnp.pad(sat, ((1, 0), (1, 0)))
-    return sat[k:, k:] - sat[:-k, k:] - sat[k:, :-k] + sat[:-k, :-k]
+    sat = padded.astype(jnp.int32).cumsum(axis=-2).cumsum(axis=-1)
+    pad = [(0, 0)] * (sat.ndim - 2) + [(1, 0), (1, 0)]
+    sat = jnp.pad(sat, pad)
+    return (
+        sat[..., k:, k:]
+        - sat[..., :-k, k:]
+        - sat[..., k:, :-k]
+        + sat[..., :-k, :-k]
+    )
 
 
 def box_sum(

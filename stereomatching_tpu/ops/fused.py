@@ -1,0 +1,227 @@
+"""Pallas TPU kernel: fused shift-match + box-filter + disparity argmax.
+
+This is the VMEM-resident replacement for the reference's hot loop — the
+CUDA ``addup_pixels_in_square`` kernel does square_width² (441) global
+memory reads per pixel per shift (src/stereo.cu:146-155), plus separate
+``fillup_matches`` / ``record_score`` / ``find_highest_scoring_shifts``
+kernel launches each re-touching HBM (src/stereo.cu:194-207,323).  Here
+one kernel invocation per row tile:
+
+  * DMAs the edge-map tile (plus its dependency halo) HBM -> VMEM once,
+  * loops over all shifts on-chip: match plane, separable box sum
+    (2*(sw) vector adds instead of sw² reads), score, running
+    (best, winner) argmax with the last-wins tie rule,
+  * writes only the two [TH, W] result planes back.
+
+HBM traffic: ~2 reads + 2 writes of the image — independent of the
+number of shifts and of square_width.
+
+Mosaic alignment: DMA slices must be (8, 128)-tile aligned, so the host
+prep pads the sublane halo to a multiple of 4 per side and the lane
+width to a multiple of 128; the kernel's value-level slices (lane/
+sublane shifts for the box filter) have no such constraint.  The shift
+slide itself is realized as one static lane-rotation per step
+(``pltpu.roll``) because Mosaic cannot load at dynamic lane offsets.
+
+Boundary semantics are baked into the padded inputs by ``_prepare`` so
+the kernel itself is mode-agnostic:
+
+  * wrap mode — x and y wrap-padding reproduces the modulo indexing of
+    src/util.h:42-47.
+  * ghost mode — the left edge map's halo is filled with the sentinel 2
+    (edges are {0,1}, so any match against halo cells is 0 == the
+    reference's zero-filled match halo, src/stereo-ghost.c:93-97), while
+    the right map's x extension keeps the reference's real zero fill for
+    the shift reads (src/stereo-ghost.c:119-121: matches against the
+    zero edge halo are genuine ``left == 0`` comparisons).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stereomatching_tpu.config import BoundaryMode, StereoParams
+
+_LEFT_SENTINEL = 2  # never equal to an edge value {0, 1}
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _prepare(
+    left_edges: jnp.ndarray,
+    right_edges: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int,
+    pad_half: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pad edge maps so every tile DMA is a tiling-aligned plain slice.
+
+    -> (l_pad [Hp+2p, Lw], r_pad [Hp+2p, Lwr], Hp) where Hp is H rounded
+    up to tile_rows, p = pad_half >= half rounds the sublane halo to
+    DMA alignment, Lw/Lwr are lane widths rounded to 128.  Row y of the
+    image lands at padded row y + p; column x at lane x + half.
+    """
+    h, w = left_edges.shape
+    half = params.half
+    d = params.num_shifts
+    hp = _round_up(h, tile_rows)
+    lw_l = _round_up(w + 2 * half, 128)
+    lw_r = _round_up(w + 2 * half + d, 128)
+    mode = params.mode
+
+    if mode == BoundaryMode.WRAP:
+        # Wrap everywhere: the extra alignment rows/lanes keep wrapping —
+        # they are never read by an output window, values don't matter.
+        ys = jnp.arange(-pad_half, hp + pad_half) % h
+        xs_l = jnp.arange(-half, -half + lw_l) % w
+        xs_r = jnp.arange(-half, -half + lw_r) % w
+        l_pad = left_edges[ys][:, xs_l]
+        r_pad = right_edges[ys][:, xs_r]
+    else:
+        l_pad = jnp.pad(
+            left_edges,
+            ((pad_half, hp - h + pad_half), (half, lw_l - w - half)),
+            constant_values=_LEFT_SENTINEL,
+        )
+        # Right map: halo rows/left columns never produce matches (the
+        # left sentinel handles that); the right x extension is the
+        # reference's zero-filled edge halo read by x+shift.
+        r_pad = jnp.pad(
+            right_edges,
+            ((pad_half, hp - h + pad_half), (half, lw_r - w - half)),
+        )
+    return l_pad.astype(jnp.int32), r_pad.astype(jnp.int32), hp
+
+
+def _kernel(
+    l_hbm,
+    r_hbm,
+    best_ref,
+    winner_ref,
+    l_vmem,
+    r_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    width: int,
+    half: int,
+    pad_half: int,
+    num_shifts: int,
+):
+    i = pl.program_id(0)
+    rows = tile_rows + 2 * pad_half
+    k = 2 * half + 1
+
+    cp_l = pltpu.make_async_copy(
+        l_hbm.at[pl.ds(i * tile_rows, rows), :], l_vmem, sems.at[0]
+    )
+    cp_r = pltpu.make_async_copy(
+        r_hbm.at[pl.ds(i * tile_rows, rows), :], r_vmem, sems.at[1]
+    )
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    l = l_vmem[:]  # [rows, lw_l]
+    y0 = pad_half - half  # first row the box filter reaches
+
+    def shift_step(d, carry):
+        best, winner, r_cur = carry
+        # Shift-by-d is realized incrementally: r_cur is the full right
+        # tile rotated left d lanes (one static-amount lane roll per
+        # step).  The window read stays at offset 0; the extra D lanes
+        # on the right absorb the rotation so wraparound never enters
+        # the window.
+        match_ext = (l[:, 0 : width + 2 * half]
+                     == r_cur[:, 0 : width + 2 * half]).astype(jnp.int32)
+        # Separable box sum: k lane-shifted adds then k sublane-shifted
+        # adds (the reference's 441 reads/pixel become 2k vector adds).
+        row_sum = match_ext[:, 0:width]
+        for v in range(1, k):
+            row_sum = row_sum + match_ext[:, v : v + width]
+        sums = row_sum[y0 : y0 + tile_rows, :]
+        for u in range(1, k):
+            sums = sums + row_sum[y0 + u : y0 + u + tile_rows, :]
+        match = match_ext[pad_half : pad_half + tile_rows, half : half + width]
+        score = jnp.where(match == 1, sums, 0)
+        # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
+        winner = jnp.where(score >= best, d + 1, winner)
+        best = jnp.maximum(best, score)
+        # Rotate left 1 lane == rotate right (lanes - 1); pltpu.roll
+        # requires a non-negative shift.
+        return best, winner, pltpu.roll(r_cur, r_cur.shape[1] - 1, 1)
+
+    init = (
+        jnp.zeros((tile_rows, width), jnp.int32),
+        jnp.zeros((tile_rows, width), jnp.int32),
+        r_vmem[:],
+    )
+    best, winner, _ = jax.lax.fori_loop(0, num_shifts, shift_step, init)
+    best_ref[:] = best
+    winner_ref[:] = winner
+
+
+def match_and_score_pallas(
+    left_edges: jnp.ndarray,
+    right_edges: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int = 128,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 [H, W].
+
+    Semantically identical to ops.argmax.match_and_score (and therefore
+    to the serial oracle) in both boundary modes; ``interpret`` defaults
+    to True off-TPU so tests run on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    h, w = left_edges.shape
+    half = params.half
+    d = params.num_shifts
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
+    l_pad, r_pad, hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
+    n_tiles = hp // tile_rows
+
+    kernel = functools.partial(
+        _kernel,
+        tile_rows=tile_rows,
+        width=w,
+        half=half,
+        pad_half=pad_half,
+        num_shifts=d,
+    )
+    rows = tile_rows + 2 * pad_half
+    best, winner = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, l_pad.shape[1]), jnp.int32),
+            pltpu.VMEM((rows, r_pad.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(l_pad, r_pad)
+    return best[:h], winner[:h]

@@ -46,10 +46,20 @@ def read_png_gray(path: str) -> np.ndarray:
     """Decode an 8-bit grayscale (color type 0) PNG to uint8 [H, W].
 
     Mirrors the reference's input contract: 1-channel grayscale only
-    (src/image.c:27-31); anything else is an error.
+    (src/image.c:27-31); anything else is an error.  Uses the native
+    decoder (native/stereo_io.cpp) when built.
     """
     with open(path, "rb") as f:
         data = f.read()
+    from stereomatching_tpu.utils import native
+
+    if native.available():
+        try:
+            out = native.png_read_gray(data)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from None
+        if out is not None:
+            return out
     if data[:8] != _PNG_SIG:
         raise ValueError(f"{path}: not a PNG file")
     pos = 8
@@ -126,6 +136,14 @@ def write_png_gray(path: str, pixels: np.ndarray) -> None:
     """Encode uint8 [H, W] as an 8-bit grayscale PNG (filter 0 rows)."""
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w = pixels.shape
+    from stereomatching_tpu.utils import native
+
+    if native.available():
+        encoded = native.png_write_gray(pixels)
+        if encoded is not None:
+            with open(path, "wb") as f:
+                f.write(encoded)
+            return
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -166,7 +184,14 @@ def ppm_bytes(data: np.ndarray, imtype: ImageType) -> bytes:
     reference's ``write_image`` (src/image.c:71-88): header
     ``P3\\n{w} {h}\\n255\\n`` then one ``{v} {v} {v}\\n`` line per pixel,
     with min/max computed over the full array for GRAY_INT
-    (src/image.c:78-79)."""
+    (src/image.c:78-79).  Dispatches to the native renderer when built
+    (the ASCII render dominates artifact-dump time in pure Python)."""
+    from stereomatching_tpu.utils import native
+
+    if native.available():
+        rendered = native.ppm_render(np.asarray(data), imtype.value)
+        if rendered is not None:
+            return rendered
     h, w = data.shape
     if imtype == ImageType.BINARY:
         v = np.where(data == 1, 0, 255).astype(np.int64)

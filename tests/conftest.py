@@ -8,7 +8,14 @@ jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session may pin JAX to the (single, slow-first-compile)
+# real TPU — and its site hook sets the platform via jax.config, which
+# overrides env vars, so we must override the same way.  Set
+# STEREO_TEST_TPU=1 to test on real hardware instead (sharded tests will
+# skip there — one chip).
+_FORCE_CPU = not os.environ.get("STEREO_TEST_TPU")
+if _FORCE_CPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +27,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 # pipelines; cache them across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+if _FORCE_CPU:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,126 @@
+"""CLI tests: argument handling, artifact dumps, timing line format."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu import cli
+from stereomatching_tpu.config import BoundaryMode, StereoParams
+from stereomatching_tpu.oracle import pipeline as oracle
+from stereomatching_tpu.utils.imageio import read_ppm, to_brightness, write_png_gray
+from tests.util import synthetic_pair
+
+TIMING_RE = re.compile(
+    r"^width = (\d+), height = (\d+), t1 = [\d.]+, t2 = [\d.]+, "
+    r"elapsed = ([\d.]+)$"
+)
+
+
+@pytest.fixture
+def pair_paths(tmp_path):
+    left, right = synthetic_pair(h=40, w=56, seed=2)
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    write_png_gray(a, left)
+    write_png_gray(b, right)
+    return a, b, left, right
+
+
+def test_timing_line_is_reference_compatible(pair_paths, tmp_path, capsys):
+    a, b, _, _ = pair_paths
+    rc = cli.main([a, b, "--tier", "oracle", "--outdir", str(tmp_path / "out")])
+    assert rc == 0
+    line = capsys.readouterr().out.strip()
+    m = TIMING_RE.match(line)
+    assert m, line
+    assert (int(m.group(1)), int(m.group(2))) == (56, 40)
+    # The reference's test/time.sh extracts awk field 15.
+    assert line.split()[14] == m.group(3)
+
+
+@pytest.mark.parametrize("tier", ["oracle", "jax"])
+def test_tiers_dump_identical_artifacts(pair_paths, tmp_path, tier):
+    a, b, left, right = pair_paths
+    outdir = str(tmp_path / tier)
+    rc = cli.main(
+        [a, b, "0.15", "9", "6", "4", "--tier", tier, "--mode", "ghost",
+         "--edge-rule", "exact", "--shifts", "12", "--outdir", outdir]
+    )
+    assert rc == 0
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12,
+        mode=BoundaryMode.GHOST, edge_rule="exact",
+    )
+    want = oracle.run_pipeline(to_brightness(left), to_brightness(right), params)
+    got = read_ppm(os.path.join(outdir, "output-0.ppm"))
+    # BINARY ppm maps 1 -> 0, else 255.
+    np.testing.assert_array_equal(got == 0, want["output-0"] == 1)
+    assert os.path.exists(os.path.join(outdir, "score_best-0.ppm"))
+
+
+def test_collect_dumps_per_shift_planes(pair_paths, tmp_path):
+    a, b, _, _ = pair_paths
+    outdir = str(tmp_path / "dbg")
+    rc = cli.main(
+        [a, b, "--tier", "oracle", "--shifts", "5", "--collect",
+         "--outdir", outdir, "0.15", "9", "2", "4"]
+    )
+    assert rc == 0
+    for i in range(5):
+        for base in ("matches", "score_all", "scores"):
+            assert os.path.exists(os.path.join(outdir, f"{base}-{i}.ppm"))
+
+
+def test_no_writes(pair_paths, tmp_path):
+    a, b, _, _ = pair_paths
+    outdir = str(tmp_path / "nw")
+    rc = cli.main([a, b, "--tier", "oracle", "--no-writes", "--outdir", outdir])
+    assert rc == 0
+    assert not os.path.exists(outdir)
+
+
+def test_mismatched_sizes_error(tmp_path, capsys):
+    l1, _ = synthetic_pair(h=20, w=20)
+    l2, _ = synthetic_pair(h=24, w=20)
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    write_png_gray(a, l1)
+    write_png_gray(b, l2)
+    assert cli.main([a, b]) == 1
+    assert "equal width and height" in capsys.readouterr().err
+
+
+def test_bad_params_error(pair_paths, capsys):
+    a, b, _, _ = pair_paths
+    assert cli.main([a, b, "1.5"]) == 1  # threshold out of range
+    assert "threshold" in capsys.readouterr().err
+    assert cli.main([a, b, "0.15", "99"]) == 1  # window bigger than image
+    assert "square" in capsys.readouterr().err
+
+
+def test_sharded_tier_runs(pair_paths, tmp_path):
+    a, b, left, right = pair_paths
+    outdir = str(tmp_path / "sh")
+    rc = cli.main(
+        [a, b, "0.15", "9", "6", "4", "--tier", "sharded", "--mode", "ghost",
+         "--edge-rule", "exact", "--shifts", "12", "--outdir", outdir]
+    )
+    assert rc == 0
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12,
+        mode=BoundaryMode.GHOST, edge_rule="exact",
+    )
+    want = oracle.run_pipeline(to_brightness(left), to_brightness(right), params)
+    got = read_ppm(os.path.join(outdir, "output-0.ppm"))
+    np.testing.assert_array_equal(got == 0, want["output-0"] == 1)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert out["output-0"].shape == args[0].shape
+    ge.dryrun_multichip(8)

@@ -1,0 +1,143 @@
+"""Tests for the modern SAD pipeline (cost volume, sub-pixel refine,
+LR consistency, hole filling, multi-scale fusion).
+
+The spec here is a brute-force NumPy implementation that materializes
+the full cost volume — the fused scan must match it exactly on integer
+disparities and to float tolerance on the parabola offsets.
+"""
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import ModernParams
+from stereomatching_tpu.models.modern import build_modern_pipeline, disparity_one_view
+from stereomatching_tpu.ops.costvolume import fill_invalid, lr_consistency, sad_disparity
+from tests.util import synthetic_pair
+
+
+def _brute_cost_volume(ref, other, d_count, half, reference):
+    """[D, H, W] aggregated SAD with edge-replicated out-of-frame reads
+    and zero-padded window aggregation."""
+    h, w = ref.shape
+    ref = ref.astype(np.int64)
+    other = other.astype(np.int64)
+    vol = np.zeros((d_count, h, w), dtype=np.int64)
+    for d in range(d_count):
+        xs = np.arange(w) - d if reference == "left" else np.arange(w) + d
+        xs = np.clip(xs, 0, w - 1)
+        ad = np.abs(ref - other[:, xs])
+        p = np.pad(ad, half)
+        sat = np.pad(p.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+        k = 2 * half + 1
+        vol[d] = sat[k:, k:] - sat[:-k, k:] - sat[k:, :-k] + sat[:-k, :-k]
+    return vol
+
+
+def _brute_disparity(vol):
+    """First-minimum argmin + parabola subpixel, matching the scan spec."""
+    d_count, h, w = vol.shape
+    best_d = vol.argmin(axis=0)  # np.argmin returns FIRST min
+    best = vol.min(axis=0)
+    sub = best_d.astype(np.float64)
+    for y in range(h):
+        for x in range(w):
+            d = best_d[y, x]
+            if 0 < d < d_count - 1:
+                cl, cm, cr = float(vol[d - 1, y, x]), float(best[y, x]), float(vol[d + 1, y, x])
+                denom = cl - 2 * cm + cr
+                if denom > 0:
+                    sub[y, x] = d + np.clip((cl - cr) / (2 * denom), -0.5, 0.5)
+    return best_d.astype(np.int32), sub, best
+
+
+@pytest.mark.parametrize("reference", ["left", "right"])
+@pytest.mark.parametrize("d_count,window", [(16, 9), (8, 1), (32, 5)])
+def test_sad_disparity_matches_brute_force(reference, d_count, window):
+    left, right = synthetic_pair(h=32, w=48, seed=1)
+    res = sad_disparity(left.astype(np.int32), right.astype(np.int32),
+                        d_count, window, reference)
+    ref, other = (left, right) if reference == "left" else (right, left)
+    vol = _brute_cost_volume(ref, other, d_count, window // 2, reference)
+    want_d, want_sub, want_cost = _brute_disparity(vol)
+    np.testing.assert_array_equal(np.asarray(res.disparity), want_d)
+    np.testing.assert_array_equal(np.asarray(res.cost), want_cost)
+    np.testing.assert_allclose(np.asarray(res.subpixel), want_sub, atol=1e-5)
+
+
+def test_known_shift_recovered():
+    """A globally shifted image must come back as a constant disparity
+    (away from the left border where the true match is out of frame)."""
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(40, 80)).astype(np.int32)
+    shift = 5
+    left = base
+    right = np.roll(base, -shift, axis=1)  # R(x) = L(x+shift) -> d(x)=shift
+    res = sad_disparity(left, right, 16, window=5, reference="left")
+    got = np.asarray(res.disparity)[:, shift + 8 : -8]
+    assert (got == shift).mean() > 0.99
+    sub = np.asarray(res.subpixel)[:, shift + 8 : -8]
+    np.testing.assert_allclose(sub, shift, atol=0.5)
+
+
+def test_lr_consistency_flags_occlusions():
+    dl = np.full((4, 16), 3, dtype=np.int32)
+    dr = np.full((4, 16), 3, dtype=np.int32)
+    dr[:, 5] = 9  # inconsistent pixel: dL(8)=3 -> dR(5)=9
+    valid = np.asarray(lr_consistency(dl, dr, max_diff=1))
+    assert not valid[0, 8]
+    assert valid[0, 9]  # dR(6)=3 consistent
+    assert not valid[:, :3].any()  # x - d < 0: out of frame
+
+
+def test_fill_invalid_diffuses():
+    d = np.zeros((8, 8), dtype=np.float32)
+    d[:, :4] = 2.0
+    d[:, 4:] = 6.0
+    valid = np.ones((8, 8), dtype=bool)
+    d_hole = d.copy()
+    d_hole[3:5, 3:5] = 0.0
+    valid_hole = valid.copy()
+    valid_hole[3:5, 3:5] = False
+    filled = np.asarray(fill_invalid(d_hole, valid_hole, iterations=8))
+    assert (filled[3:5, 3:5] >= 2.0).all() and (filled[3:5, 3:5] <= 6.0).all()
+    np.testing.assert_array_equal(filled[0], d[0])  # valid pixels untouched
+
+
+@pytest.mark.parametrize("scales", [1, 2])
+def test_modern_pipeline_end_to_end(scales):
+    left, right = synthetic_pair(h=48, w=64, seed=3)
+    params = ModernParams(num_disparities=16, window=7, scales=scales)
+    fn = build_modern_pipeline(params)
+    out = fn(left.astype(np.int32), right.astype(np.int32))
+    assert out["disparity"].shape == (48, 64)
+    assert out["valid"].dtype == bool
+    assert np.asarray(out["valid"]).mean() > 0.5  # mostly consistent
+    d = np.asarray(out["disparity"])
+    assert d.min() >= 0 and d.max() < 16
+    # filled map has no NaNs and stays in range
+    filled = np.asarray(out["filled"])
+    assert np.isfinite(filled).all()
+
+
+def test_modern_batched():
+    left, right = synthetic_pair(h=24, w=32, seed=5)
+    params = ModernParams(num_disparities=8, window=5)
+    single = build_modern_pipeline(params)
+    batched = build_modern_pipeline(params, batched=True)
+    l = np.stack([left, left]).astype(np.int32)
+    r = np.stack([right, right]).astype(np.int32)
+    got = batched(l, r)
+    want = single(left.astype(np.int32), right.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(got["disparity"][0]),
+                                  np.asarray(want["disparity"]))
+
+
+def test_multiscale_coarse_influences_cost():
+    """scales=2 must actually change the cost (pyramid fused in)."""
+    left, right = synthetic_pair(h=32, w=32, seed=7)
+    p1 = ModernParams(num_disparities=8, window=5, scales=1)
+    p2 = ModernParams(num_disparities=8, window=5, scales=2)
+    c1 = np.asarray(disparity_one_view(left.astype(np.int32), right.astype(np.int32), p1).cost)
+    c2 = np.asarray(disparity_one_view(left.astype(np.int32), right.astype(np.int32), p2).cost)
+    assert (c2 >= c1).all()  # coarse adds non-negative cost
+    assert (c2 > c1).any()

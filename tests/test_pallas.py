@@ -1,0 +1,70 @@
+"""Differential tests for the Pallas fused cost-volume kernel.
+
+Runs in Pallas interpret mode on CPU (the kernel auto-selects interpret
+off-TPU); compiled-mode numerics are pinned by the same int32 arithmetic.
+The oracle is the spec, as test/diff.sh's serial C is for the reference's
+CUDA kernels.
+"""
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import BoundaryMode, StereoParams
+from stereomatching_tpu.oracle import pipeline as oracle
+from stereomatching_tpu.ops.fused import match_and_score_pallas
+from stereomatching_tpu.utils.imageio import to_brightness
+from tests.util import synthetic_pair
+
+
+def _edges_and_expected(params, h=48, w=64, seed=0):
+    left, right = synthetic_pair(h=h, w=w, seed=seed)
+    lb = to_brightness(left)
+    rb = to_brightness(right)
+    el = oracle.find_edges(lb, params.threshold, params.mode, rule=params.edge_rule)
+    er = oracle.find_edges(rb, params.threshold, params.mode, rule=params.edge_rule)
+    matches = oracle.fill_matches(el, er, params.num_shifts, params.mode)
+    sums = np.stack(
+        [
+            oracle.box_sum(matches[i], params.square_width, params.mode)
+            for i in range(params.num_shifts)
+        ]
+    )
+    scores = oracle.record_scores(matches, sums)
+    best, winner = oracle.best_and_winner(scores)
+    return el, er, best, winner
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+@pytest.mark.parametrize("sw,d", [(9, 12), (21, 30), (5, 64)])
+def test_fused_kernel_matches_oracle(mode, sw, d):
+    params = StereoParams(square_width=sw, num_shifts=d, mode=mode, edge_rule="exact")
+    el, er, best, winner = _edges_and_expected(params, h=48, w=64)
+    got_best, got_winner = match_and_score_pallas(
+        el.astype(np.int32), er.astype(np.int32), params, tile_rows=16
+    )
+    np.testing.assert_array_equal(np.asarray(got_best), best, err_msg="best")
+    np.testing.assert_array_equal(np.asarray(got_winner), winner, err_msg="winner")
+
+
+def test_fused_kernel_ragged_height():
+    """H not divisible by tile_rows: output rows past H are sliced off."""
+    params = StereoParams(square_width=9, num_shifts=8, mode=BoundaryMode.GHOST,
+                          edge_rule="exact")
+    el, er, best, winner = _edges_and_expected(params, h=37, w=48, seed=4)
+    got_best, got_winner = match_and_score_pallas(
+        el.astype(np.int32), er.astype(np.int32), params, tile_rows=16
+    )
+    np.testing.assert_array_equal(np.asarray(got_best), best)
+    np.testing.assert_array_equal(np.asarray(got_winner), winner)
+
+
+def test_fused_kernel_wrap_tall_tiles():
+    """tile_rows > H exercises the single-tile path."""
+    params = StereoParams(square_width=7, num_shifts=10, mode=BoundaryMode.WRAP,
+                          edge_rule="exact")
+    el, er, best, winner = _edges_and_expected(params, h=24, w=40, seed=2)
+    got_best, got_winner = match_and_score_pallas(
+        el.astype(np.int32), er.astype(np.int32), params, tile_rows=128
+    )
+    np.testing.assert_array_equal(np.asarray(got_best), best)
+    np.testing.assert_array_equal(np.asarray(got_winner), winner)

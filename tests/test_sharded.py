@@ -1,0 +1,99 @@
+"""Differential tests for the sharded (shard_map + ppermute halo) tier.
+
+The role test/diff.sh plays for the reference's CUDA programs: the
+NumPy oracle is the executable spec; the multi-chip pipeline must
+reproduce it bitwise on an emulated 8-device CPU mesh, for every mesh
+shape and both boundary modes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import BoundaryMode, StereoParams
+from stereomatching_tpu.oracle import pipeline as oracle
+from stereomatching_tpu.parallel import build_sharded_pipeline, make_mesh
+from stereomatching_tpu.utils.imageio import to_brightness
+from tests.util import synthetic_pair
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh (conftest)"
+)
+
+
+def _batch(n_pairs, h, w, seed0=0):
+    lefts, rights = [], []
+    for i in range(n_pairs):
+        l, r = synthetic_pair(h=h, w=w, seed=seed0 + i)
+        lefts.append(to_brightness(l, np.float32))
+        rights.append(to_brightness(r, np.float32))
+    return np.stack(lefts), np.stack(rights)
+
+
+def _oracle_batch(lefts, rights, params):
+    outs = [
+        oracle.run_pipeline(
+            lefts[i].astype(np.float64), rights[i].astype(np.float64), params
+        )
+        for i in range(lefts.shape[0])
+    ]
+    return {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+@pytest.mark.parametrize("data,rows", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_matches_oracle(mode, data, rows):
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12, mode=mode,
+        edge_rule="exact",
+    )
+    mesh = make_mesh(data=data, rows=rows)
+    lefts, rights = _batch(n_pairs=data, h=rows * 12, w=48)
+    got = jax.device_get(build_sharded_pipeline(params, mesh)(lefts, rights))
+    want = _oracle_batch(lefts, rights, params)
+    for name in ("edges-1", "edges-2", "score_best", "web-1", "web-2", "output-0"):
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), want[name], err_msg=f"{name} [{mode} {data}x{rows}]"
+        )
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+def test_sharded_default_params(mode):
+    """Default reference parameters (sw=21, times=32, 30 shifts) on a
+    2x4 mesh — shard height 22 > halo 10."""
+    params = StereoParams(mode=mode, edge_rule="exact")
+    mesh = make_mesh(data=2, rows=4)
+    lefts, rights = _batch(n_pairs=2, h=88, w=64, seed0=5)
+    got = jax.device_get(build_sharded_pipeline(params, mesh)(lefts, rights))
+    want = _oracle_batch(lefts, rights, params)
+    for name in ("score_best", "web-2", "output-0"):
+        np.testing.assert_array_equal(np.asarray(got[name]), want[name], err_msg=name)
+
+
+def test_halo_too_wide_raises():
+    params = StereoParams(square_width=21, mode=BoundaryMode.GHOST)
+    mesh = make_mesh(data=1, rows=8)
+    lefts, rights = _batch(n_pairs=1, h=8 * 8, w=32)  # shard height 8 < halo 10
+    with pytest.raises(ValueError, match="halo"):
+        build_sharded_pipeline(params, mesh)(lefts, rights)
+
+
+def test_sharded_matches_single_chip_reference_rule():
+    """'reference' edge rule: sharded vs single-chip JAX tier must agree
+    bitwise (same backend, same arithmetic) even where the oracle's f64
+    would differ."""
+    from stereomatching_tpu.models.classic import build_classic_pipeline
+
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12,
+        mode=BoundaryMode.GHOST, edge_rule="reference",
+    )
+    mesh = make_mesh(data=1, rows=8)
+    lefts, rights = _batch(n_pairs=1, h=64, w=48, seed0=9)
+    got = jax.device_get(build_sharded_pipeline(params, mesh)(lefts, rights))
+    single = build_classic_pipeline(params, batched=True)
+    want = jax.device_get(single(lefts, rights))
+    for name in ("edges-1", "score_best", "web-2", "output-0"):
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), np.asarray(want[name]), err_msg=name
+        )
