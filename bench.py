@@ -3,6 +3,14 @@
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+Measurement discipline: the session's TPU is reached through a remote
+tunnel whose async dispatch makes ``block_until_ready`` on repeated
+identical dispatches unreliable (they can appear free).  So the timed
+step (a) consumes a DIFFERENT input batch every iteration, (b) returns
+only an int32 checksum (no large result buffers), and (c) is completed
+by a host readback of that checksum each iteration — nothing can be
+elided, deduplicated, or left in flight.
+
 Baseline derivation (BASELINE.md): the reference's best configuration
 (CUDA + ghost areas) runs a 1920x1080 pair in 0.2328 s (report/data.txt:4).
 Rescaled to this benchmark's workload with the thesis's own pixel-pass
@@ -13,8 +21,8 @@ matches + sw^2 box adds + 2D score/argmax + 1 winner + times diffusion +
   t_base = 0.2328 * (1048576/2073600) * (677/575) = 0.13862 s
   baseline_fps = 7.214 pairs/s/GPU
 
-Usage: python bench.py [--size 1024] [--disparities 64] [--batch 4]
-                       [--iters 5] [--mode ghost]
+Usage: python bench.py [--size 1024] [--disparities 64] [--batch 8]
+                       [--iters 3] [--mode ghost] [--pallas]
 """
 
 from __future__ import annotations
@@ -36,16 +44,19 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--disparities", type=int, default=64)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="ghost")
+    p.add_argument("--pallas", action="store_true",
+                   help="route the cost-volume phase through the Pallas kernel")
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from stereomatching_tpu.config import BoundaryMode, StereoParams
-    from stereomatching_tpu.models.classic import build_classic_pipeline
+    from stereomatching_tpu.models.classic import classic_forward_batched
 
     params = StereoParams(
         num_shifts=args.disparities,
@@ -53,29 +64,45 @@ def main() -> None:
         edge_rule="exact",
     )
     h = w = args.size
-    rng = np.random.default_rng(0)
-    left = jax.numpy.asarray(
-        rng.integers(0, 256, size=(args.batch, h, w)).astype(np.float32) / 256.0
-    )
-    right = jax.numpy.asarray(
-        rng.integers(0, 256, size=(args.batch, h, w)).astype(np.float32) / 256.0
-    )
 
-    fn = build_classic_pipeline(params, batched=True)
-    for _ in range(args.warmup):
-        jax.block_until_ready(fn(left, right))
+    def step(left, right):
+        out = classic_forward_batched(left, right, params, use_pallas=args.pallas)
+        # Small checksum only: forces full computation, avoids shipping
+        # result planes through the device tunnel.
+        return (
+            out["web-2"].sum()
+            + out["output-0"].sum()
+            + out["score_best"].sum()
+            + out["edges-1"].sum()
+        )
+
+    step = jax.jit(step)
+
+    # Distinct device-resident batches per timed iteration.
+    rng = np.random.default_rng(0)
+    n_batches = args.warmup + args.iters
+    lefts = [
+        jnp.asarray(rng.integers(0, 256, (args.batch, h, w)).astype(np.float32) / 256.0)
+        for _ in range(n_batches)
+    ]
+    rights = [
+        jnp.asarray(rng.integers(0, 256, (args.batch, h, w)).astype(np.float32) / 256.0)
+        for _ in range(n_batches)
+    ]
+    jax.block_until_ready((lefts, rights))
+
+    acc = 0
+    for i in range(args.warmup):
+        acc += int(jax.device_get(step(lefts[i], rights[i])))
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn(left, right)
-    jax.block_until_ready(out)
+    for i in range(args.warmup, n_batches):
+        acc += int(jax.device_get(step(lefts[i], rights[i])))
     t1 = time.perf_counter()
 
     pairs = args.batch * args.iters
     fps = pairs / (t1 - t0)
 
-    # Baseline: CUDA+ghost 1920x1080 @ D=30, sw=21, times=32 -> 0.2328 s
-    # (report/data.txt:4), rescaled via the pixel-pass model.
     base_t = (
         0.2328
         * ((h * w) / (1920 * 1080))
@@ -90,7 +117,8 @@ def main() -> None:
     print(
         f"device={dev.platform} n={len(jax.devices())} size={h}x{w} "
         f"D={args.disparities} batch={args.batch} iters={args.iters} "
-        f"time/pair={1.0/fps*1e3:.2f}ms baseline={baseline_fps:.3f}fps",
+        f"pallas={args.pallas} time/pair={(t1 - t0) / pairs * 1e3:.2f}ms "
+        f"checksum={acc} baseline={baseline_fps:.3f}fps",
         file=sys.stderr,
     )
     print(
@@ -106,4 +134,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -51,7 +51,9 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument("times", nargs="?", type=int, default=None)
     p.add_argument("lines", nargs="?", type=int, default=None)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="wrap")
-    p.add_argument("--tier", choices=["jax", "oracle", "sharded"], default="jax")
+    p.add_argument(
+        "--tier", choices=["jax", "oracle", "sharded", "pallas"], default="jax"
+    )
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
     p.add_argument("--shifts", type=int, default=None, help="number of disparities")
     p.add_argument("--outdir", default=".", help="artifact output directory")
@@ -126,6 +128,17 @@ def _run_jax(left, right, params, collect):
     return arts
 
 
+def _run_pallas(left, right, params, collect):
+    _ensure_platform()
+    import jax
+
+    from stereomatching_tpu.models.classic import build_classic_pipeline
+
+    del collect  # per-shift planes are never materialized in the fused kernel
+    fn = build_classic_pipeline(params, use_pallas=True)
+    return dict(jax.device_get(fn(left, right)))
+
+
 def _run_sharded(left, right, params, collect):
     _ensure_platform()
     import jax
@@ -143,7 +156,12 @@ def _run_sharded(left, right, params, collect):
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
 
-_TIERS = {"oracle": _run_oracle, "jax": _run_jax, "sharded": _run_sharded}
+_TIERS = {
+    "oracle": _run_oracle,
+    "jax": _run_jax,
+    "sharded": _run_sharded,
+    "pallas": _run_pallas,
+}
 
 
 def _dump(arts: Dict[str, np.ndarray], outdir: str) -> None:

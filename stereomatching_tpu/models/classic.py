@@ -57,12 +57,57 @@ def classic_forward(
     }
 
 
+def _classic_forward_batched_pallas(
+    left: jnp.ndarray, right: jnp.ndarray, params: StereoParams
+) -> Dict[str, jnp.ndarray]:
+    """Batched pipeline routed through the Pallas kernel.  The kernel
+    takes the batch as a grid dimension (it cannot be vmapped: Mosaic
+    ANY-space inputs are not partitionable by the batcher), so only the
+    XLA phases are vmapped."""
+    from stereomatching_tpu.ops.fused import match_and_score_pallas
+
+    ef = jax.vmap(
+        lambda x: find_edges(x, params.threshold, params.mode, params.edge_rule)
+    )
+    edges_l = ef(left)
+    edges_r = ef(right)
+    best, winner = match_and_score_pallas(edges_l, edges_r, params)
+    web = jax.vmap(lambda wn: fill_web_holes(wn, params.times))(winner)
+    out, min_e, max_e = jax.vmap(lambda wb: draw_contour(wb, params.lines))(web)
+    return {
+        "edges-1": edges_l,
+        "edges-2": edges_r,
+        "score_best": best,
+        "web-1": winner,
+        "web-2": web,
+        "output-0": out,
+        "min_elevation": min_e,
+        "max_elevation": max_e,
+    }
+
+
+def classic_forward_batched(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoParams,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batched [B, H, W] pipeline, traceable inside an outer jit."""
+    if use_pallas:
+        return _classic_forward_batched_pallas(left, right, params)
+    return jax.vmap(functools.partial(classic_forward, params=params))(left, right)
+
+
 def build_classic_pipeline(
     params: StereoParams, batched: bool = False, use_pallas: bool = False
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Jitted pipeline for fixed params.  With ``batched=True`` the inputs
     carry a leading pairs axis [B, H, W] (the throughput mode of
     BASELINE.md config 4) — per-pair contour min/max via vmap."""
+    if batched and use_pallas:
+        return jax.jit(
+            functools.partial(_classic_forward_batched_pallas, params=params)
+        )
     fn = functools.partial(classic_forward, params=params, use_pallas=use_pallas)
     if batched:
         fn = jax.vmap(fn)

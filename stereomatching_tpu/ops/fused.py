@@ -69,13 +69,14 @@ def _prepare(
     DMA alignment, Lw/Lwr are lane widths rounded to 128.  Row y of the
     image lands at padded row y + p; column x at lane x + half.
     """
-    h, w = left_edges.shape
+    h, w = left_edges.shape[-2:]
     half = params.half
     d = params.num_shifts
     hp = _round_up(h, tile_rows)
     lw_l = _round_up(w + 2 * half, 128)
     lw_r = _round_up(w + 2 * half + d, 128)
     mode = params.mode
+    nb = left_edges.ndim - 2  # leading batch dims
 
     if mode == BoundaryMode.WRAP:
         # Wrap everywhere: the extra alignment rows/lanes keep wrapping —
@@ -83,12 +84,13 @@ def _prepare(
         ys = jnp.arange(-pad_half, hp + pad_half) % h
         xs_l = jnp.arange(-half, -half + lw_l) % w
         xs_r = jnp.arange(-half, -half + lw_r) % w
-        l_pad = left_edges[ys][:, xs_l]
-        r_pad = right_edges[ys][:, xs_r]
+        l_pad = left_edges[..., ys, :][..., :, xs_l]
+        r_pad = right_edges[..., ys, :][..., :, xs_r]
     else:
+        bpad = [(0, 0)] * nb
         l_pad = jnp.pad(
             left_edges,
-            ((pad_half, hp - h + pad_half), (half, lw_l - w - half)),
+            bpad + [(pad_half, hp - h + pad_half), (half, lw_l - w - half)],
             constant_values=_LEFT_SENTINEL,
         )
         # Right map: halo rows/left columns never produce matches (the
@@ -96,7 +98,7 @@ def _prepare(
         # reference's zero-filled edge halo read by x+shift.
         r_pad = jnp.pad(
             right_edges,
-            ((pad_half, hp - h + pad_half), (half, lw_r - w - half)),
+            bpad + [(pad_half, hp - h + pad_half), (half, lw_r - w - half)],
         )
     return l_pad.astype(jnp.int32), r_pad.astype(jnp.int32), hp
 
@@ -116,15 +118,16 @@ def _kernel(
     pad_half: int,
     num_shifts: int,
 ):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     rows = tile_rows + 2 * pad_half
     k = 2 * half + 1
 
     cp_l = pltpu.make_async_copy(
-        l_hbm.at[pl.ds(i * tile_rows, rows), :], l_vmem, sems.at[0]
+        l_hbm.at[b, pl.ds(i * tile_rows, rows), :], l_vmem, sems.at[0]
     )
     cp_r = pltpu.make_async_copy(
-        r_hbm.at[pl.ds(i * tile_rows, rows), :], r_vmem, sems.at[1]
+        r_hbm.at[b, pl.ds(i * tile_rows, rows), :], r_vmem, sems.at[1]
     )
     cp_l.start()
     cp_r.start()
@@ -133,6 +136,21 @@ def _kernel(
 
     l = l_vmem[:]  # [rows, lw_l]
     y0 = pad_half - half  # first row the box filter reaches
+    w2h = width + 2 * half
+
+    # The separable box filter as two banded-ones matmuls — the MXU
+    # (idle in this integer pipeline) does the window aggregation at
+    # ~100x VPU add throughput, and banded matrices absorb all halo
+    # offsets so no unaligned vector relayouts are needed.  Exactness:
+    # products are {0,1}; the f32 accumulator holds row sums <= k and
+    # window sums <= k^2 (<= 2^15) exactly; bf16 carries integers
+    # <= 256 exactly, hence row sums <= k == square_width <= 255.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 1)
+    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(jnp.bfloat16)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 0)
+    xx2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 1)
+    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(jnp.bfloat16)
 
     def shift_step(d, carry):
         best, winner, r_cur = carry
@@ -141,16 +159,16 @@ def _kernel(
         # step).  The window read stays at offset 0; the extra D lanes
         # on the right absorb the rotation so wraparound never enters
         # the window.
-        match_ext = (l[:, 0 : width + 2 * half]
-                     == r_cur[:, 0 : width + 2 * half]).astype(jnp.int32)
-        # Separable box sum: k lane-shifted adds then k sublane-shifted
-        # adds (the reference's 441 reads/pixel become 2k vector adds).
-        row_sum = match_ext[:, 0:width]
-        for v in range(1, k):
-            row_sum = row_sum + match_ext[:, v : v + width]
-        sums = row_sum[y0 : y0 + tile_rows, :]
-        for u in range(1, k):
-            sums = sums + row_sum[y0 + u : y0 + u + tile_rows, :]
+        match_ext = (l[:, 0:w2h] == r_cur[:, 0:w2h]).astype(jnp.int32)
+        col_sum = jnp.dot(  # [tile_rows, w2h], values <= k
+            col_band, match_ext.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        sums_f = jnp.dot(  # [tile_rows, width], values <= k*k
+            col_sum.astype(jnp.bfloat16), row_band,
+            preferred_element_type=jnp.float32,
+        )
+        sums = sums_f.astype(jnp.int32)
         match = match_ext[pad_half : pad_half + tile_rows, half : half + width]
         score = jnp.where(match == 1, sums, 0)
         # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
@@ -166,8 +184,8 @@ def _kernel(
         r_vmem[:],
     )
     best, winner, _ = jax.lax.fori_loop(0, num_shifts, shift_step, init)
-    best_ref[:] = best
-    winner_ref[:] = winner
+    best_ref[0] = best
+    winner_ref[0] = winner
 
 
 def match_and_score_pallas(
@@ -177,7 +195,10 @@ def match_and_score_pallas(
     tile_rows: int = 128,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 [H, W].
+    """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
+    the input's shape ([H, W] or batched [B, H, W] — the batch becomes
+    the leading grid dimension, NOT a vmap, because Mosaic's ANY-space
+    inputs cannot be block-partitioned by a batcher).
 
     Semantically identical to ops.argmax.match_and_score (and therefore
     to the serial oracle) in both boundary modes; ``interpret`` defaults
@@ -185,7 +206,11 @@ def match_and_score_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    h, w = left_edges.shape
+    squeeze = left_edges.ndim == 2
+    if squeeze:
+        left_edges = left_edges[None]
+        right_edges = right_edges[None]
+    bsz, h, w = left_edges.shape
     half = params.half
     d = params.num_shifts
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
@@ -204,24 +229,31 @@ def match_and_score_pallas(
     rows = tile_rows + 2 * pad_half
     best, winner = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, l_pad.shape[1]), jnp.int32),
-            pltpu.VMEM((rows, r_pad.shape[1]), jnp.int32),
+            pltpu.VMEM((rows, l_pad.shape[-1]), jnp.int32),
+            pltpu.VMEM((rows, r_pad.shape[-1]), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(l_pad, r_pad)
-    return best[:h], winner[:h]
+    best, winner = best[:, :h], winner[:, :h]
+    if squeeze:
+        best, winner = best[0], winner[0]
+    return best, winner

@@ -1,0 +1,75 @@
+"""Synthetic stereo fixtures with ground-truth disparity.
+
+The reference ships one rendered scene at six resolutions
+(test/imgs/{1..6}-WxH, SURVEY.md §2 #22) but no ground truth — its
+oracle is implementation equality, not scene accuracy.  These
+generators add the missing piece for the modern pipeline's quality
+metrics (utils/metrics.py): pairs with exact per-pixel disparity.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def blob_scene(
+    h: int = 135,
+    w: int = 240,
+    seed: int = 0,
+    max_disparity: int = 8,
+    n_blobs: int = 6,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Piecewise-constant blobs at random depths over a gradient
+    background -> (left u8, right u8, disparity i32).
+
+    right[y, x] = left[y, x + d(y, x)] (wrapped), so a left-reference
+    matcher recovers d.  Blob interiors have exact ground truth; blob
+    boundaries are occlusion-ambiguous, as in real stereo.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    left = (32 + 128 * (xx / w) + 64 * (yy / h)).astype(np.float64)
+    disparity = np.zeros((h, w), dtype=np.int32)
+    for _ in range(n_blobs):
+        y0 = int(rng.integers(0, max(h - 8, 1)))
+        x0 = int(rng.integers(0, max(w - 12, 1)))
+        bh = int(rng.integers(6, max(h // 3, 7)))
+        bw = int(rng.integers(8, max(w // 3, 9)))
+        val = int(rng.integers(60, 250))
+        d = int(rng.integers(1, max_disparity))
+        left[y0 : y0 + bh, x0 : x0 + bw] = val
+        disparity[y0 : y0 + bh, x0 : x0 + bw] = d
+    left = np.clip(left, 0, 255).astype(np.uint8)
+    cols = (xx + disparity) % w
+    right = left[yy, cols]
+    return left, right, disparity
+
+
+def textured_shift(
+    h: int,
+    w: int,
+    shift: int,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense random texture under a constant horizontal shift —
+    the sharpest possible quality probe (every pixel matchable).
+    -> (left u8, right u8, disparity i32 == shift)."""
+    rng = np.random.default_rng(seed)
+    left = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    right = np.roll(left, -shift, axis=1)
+    return left, right, np.full((h, w), shift, dtype=np.int32)
+
+
+def size_sweep_sizes() -> Tuple[Tuple[int, int], ...]:
+    """The reference's fixture resolutions (test/imgs/, SURVEY.md §2 #22),
+    including the 8K pair stripped from its mirror."""
+    return (
+        (135, 240),
+        (270, 480),
+        (540, 960),
+        (1080, 1920),
+        (2160, 3840),
+        (4320, 7680),
+    )

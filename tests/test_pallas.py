@@ -68,3 +68,38 @@ def test_fused_kernel_wrap_tall_tiles():
     )
     np.testing.assert_array_equal(np.asarray(got_best), best)
     np.testing.assert_array_equal(np.asarray(got_winner), winner)
+
+
+def test_fused_kernel_batched():
+    """Native batch support: [B, H, W] inputs via the grid batch dim."""
+    params = StereoParams(square_width=9, num_shifts=8, mode=BoundaryMode.GHOST,
+                          edge_rule="exact")
+    els, ers, bests, winners = [], [], [], []
+    for seed in range(3):
+        el, er, best, winner = _edges_and_expected(params, h=32, w=48, seed=seed)
+        els.append(el); ers.append(er); bests.append(best); winners.append(winner)
+    gb, gw = match_and_score_pallas(
+        np.stack(els).astype(np.int32), np.stack(ers).astype(np.int32),
+        params, tile_rows=16,
+    )
+    np.testing.assert_array_equal(np.asarray(gb), np.stack(bests))
+    np.testing.assert_array_equal(np.asarray(gw), np.stack(winners))
+
+
+def test_batched_pallas_pipeline_matches_xla():
+    import jax
+
+    from stereomatching_tpu.models.classic import build_classic_pipeline
+    from stereomatching_tpu.utils.imageio import to_brightness
+
+    params = StereoParams(square_width=9, num_shifts=8, times=4, lines=4,
+                          mode=BoundaryMode.GHOST, edge_rule="exact")
+    pairs = [synthetic_pair(h=32, w=48, seed=s) for s in range(2)]
+    l = np.stack([to_brightness(p[0], np.float32) for p in pairs])
+    r = np.stack([to_brightness(p[1], np.float32) for p in pairs])
+    want = jax.device_get(build_classic_pipeline(params, batched=True)(l, r))
+    got = jax.device_get(
+        build_classic_pipeline(params, batched=True, use_pallas=True)(l, r)
+    )
+    for k in ("score_best", "web-1", "web-2", "output-0"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)

@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Cross-repository golden diff — the reference's own correctness harness
+# (test/diff.sh) pointed at this framework: build the reference's serial
+# debug binaries, run them AND our CLI on the same stereo pair, and
+# byte-diff every dumped artifact (96 PPMs per boundary mode).
+#
+# Usage: tools/diff_vs_reference.sh [a.png b.png] [tier]
+#   default pair: the reference's smallest fixture; default tier: oracle
+#   (bit-exact to C doubles).  Use tier=jax/sharded/pallas with
+#   EDGE_RULE=exact for cross-backend bit-determinism (knife-edge edge
+#   ties may differ from the C float order on accelerators; see README).
+set -euo pipefail
+
+REF=${REF:-/root/reference}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+A=${1:-$REF/test/imgs/1-240x135/a.png}
+B=${2:-$REF/test/imgs/1-240x135/b.png}
+TIER=${3:-oracle}
+EDGE_RULE=${EDGE_RULE:-reference}
+BUILD=${BUILD:-/tmp/stereo_ref_build}
+WORK=$(mktemp -d)
+
+mkdir -p "$BUILD"
+for v in "stereo.c:ref-ser:ser" "stereo-ghost.c:ref-sergh:sergh"; do
+    IFS=: read -r src bin dir <<<"$v"
+    [ -x "$BUILD/$bin" ] || gcc -O2 -DDEBUG -I "$REF/src" \
+        "$REF/src/$src" "$REF/src/image.c" -lm -o "$BUILD/$bin"
+    mkdir -p "$WORK/$dir"
+done
+
+cd "$WORK"
+"$BUILD/ref-ser" "$A" "$B" >/dev/null
+"$BUILD/ref-sergh" "$A" "$B" >/dev/null
+
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode wrap \
+    --edge-rule "$EDGE_RULE" --collect --outdir our_ser >/dev/null
+python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode ghost \
+    --edge-rule "$EDGE_RULE" --collect --outdir our_sergh >/dev/null
+
+fail=0
+for pair in "ser:our_ser" "sergh:our_sergh"; do
+    IFS=: read -r ref ours <<<"$pair"
+    for f in "$ref"/*.ppm; do
+        name=$(basename "$f")
+        if ! cmp -s "$f" "$ours/$name"; then
+            echo "DIFF [$ref] $name"
+            fail=1
+        fi
+    done
+done
+
+n=$(ls ser sergh | grep -c ppm || true)
+if [ "$fail" -eq 0 ]; then
+    echo "OK: all $n artifacts byte-identical (tier=$TIER, edge_rule=$EDGE_RULE)"
+else
+    echo "FAILED: artifacts differ (dir: $WORK)" >&2
+    exit 1
+fi
+rm -rf "$WORK"
