@@ -1,0 +1,34 @@
+# Top-level targets — the role of the reference's Makefile (build modes,
+# graphs; Makefile:1-87) for a Python/JAX framework.
+PY ?= python
+
+.PHONY: all native test test-tpu bench sweep graphs golden clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Run the suite against the real TPU instead of the virtual CPU mesh.
+test-tpu:
+	STEREO_TEST_TPU=1 $(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+sweep:
+	$(PY) -m stereomatching_tpu.bench
+
+graphs:
+	$(PY) -m stereomatching_tpu.bench --graphs report
+
+# Cross-repo golden diff against the compiled C reference (test/diff.sh).
+golden:
+	tools/diff_vs_reference.sh
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf report .pytest_cache

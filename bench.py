@@ -48,9 +48,17 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="ghost")
-    p.add_argument("--pallas", action="store_true",
-                   help="route the cost-volume phase through the Pallas kernel")
+    p.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
+                   help="route the hot phases through the Pallas kernels "
+                        "(--no-pallas for the pure-XLA tier)")
     args = p.parse_args()
+
+    import os
+
+    # Persistent compile cache: compiles through the remote TPU tunnel
+    # take minutes; cache them across bench invocations.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
     import jax.numpy as jnp

@@ -54,6 +54,17 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument(
         "--tier", choices=["jax", "oracle", "sharded", "pallas"], default="jax"
     )
+    p.add_argument(
+        "--pipeline",
+        choices=["classic", "modern"],
+        default="classic",
+        help="classic = the reference's edge-matching contour pipeline; "
+        "modern = SAD cost volume + LR consistency + sub-pixel refine "
+        "(positional threshold is ignored; square_width maps to the SAD "
+        "window, --shifts to num_disparities)",
+    )
+    p.add_argument("--scales", type=int, default=1, choices=[1, 2],
+                   help="modern pipeline: multi-scale cost fusion levels")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
     p.add_argument("--shifts", type=int, default=None, help="number of disparities")
     p.add_argument("--outdir", default=".", help="artifact output directory")
@@ -178,6 +189,41 @@ def _dump(arts: Dict[str, np.ndarray], outdir: str) -> None:
         )
 
 
+def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
+    _ensure_platform()
+    import jax
+
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import build_modern_pipeline
+
+    kw = {"scales": args.scales}
+    if args.shifts is not None:
+        kw["num_disparities"] = args.shifts
+    if args.square_width is not None:
+        kw["window"] = args.square_width
+    params = ModernParams(**kw)
+    fn = build_modern_pipeline(params)
+    return jax.device_get(fn(img1.astype(np.int32), img2.astype(np.int32)))
+
+
+def _dump_modern(out: Dict[str, np.ndarray], outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(outdir, "disparity.npz"),
+        **{k: np.asarray(v) for k, v in out.items()},
+    )
+    write_ppm(
+        os.path.join(outdir, "disparity.ppm"),
+        np.asarray(out["disparity"]),
+        artifact_ppm_type("web-1"),  # GRAY_INT normalization
+    )
+    write_ppm(
+        os.path.join(outdir, "valid.ppm"),
+        np.asarray(out["valid"]).astype(np.int64) ^ 1,  # invalid -> black
+        artifact_ppm_type("output-0"),
+    )
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = _parse(argv if argv is not None else sys.argv[1:])
 
@@ -194,6 +240,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.pipeline == "modern":
+        t1 = time.monotonic()
+        try:
+            out = _run_modern(args, img1, img2)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if not args.no_writes:
+            _dump_modern(out, args.outdir)
+        t2 = time.monotonic()
+        h, w = img1.shape
+        print(
+            f"width = {w}, height = {h}, t1 = {t1:f}, t2 = {t2:f}, "
+            f"elapsed = {t2 - t1:f}"
+        )
+        return 0
+
     try:
         params = _build_params(args)
         params.validate_for_image(img1.shape[1], img1.shape[0])

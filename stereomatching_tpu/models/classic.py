@@ -41,9 +41,10 @@ def classic_forward(
         from stereomatching_tpu.ops.fused import match_and_score_pallas
 
         best, winner = match_and_score_pallas(edges_l, edges_r, params)
+        web = _fill_web_holes_auto(winner, params.times)
     else:
         best, winner = match_and_score(edges_l, edges_r, params)
-    web = fill_web_holes(winner, params.times)
+        web = fill_web_holes(winner, params.times)
     out, min_e, max_e = draw_contour(web, params.lines)
     return {
         "edges-1": edges_l,
@@ -57,11 +58,23 @@ def classic_forward(
     }
 
 
+def _fill_web_holes_auto(winner: jnp.ndarray, times: int) -> jnp.ndarray:
+    """Fused Pallas diffusion when the lane constraint allows (W % 128),
+    XLA scan otherwise — bit-identical either way."""
+    if winner.shape[-1] % 128 == 0:
+        from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
+
+        return fill_web_holes_pallas(winner, times)
+    if winner.ndim == 3:
+        return jax.vmap(lambda wn: fill_web_holes(wn, times))(winner)
+    return fill_web_holes(winner, times)
+
+
 def _classic_forward_batched_pallas(
     left: jnp.ndarray, right: jnp.ndarray, params: StereoParams
 ) -> Dict[str, jnp.ndarray]:
-    """Batched pipeline routed through the Pallas kernel.  The kernel
-    takes the batch as a grid dimension (it cannot be vmapped: Mosaic
+    """Batched pipeline routed through the Pallas kernels.  The kernels
+    take the batch as a grid dimension (they cannot be vmapped: Mosaic
     ANY-space inputs are not partitionable by the batcher), so only the
     XLA phases are vmapped."""
     from stereomatching_tpu.ops.fused import match_and_score_pallas
@@ -72,7 +85,7 @@ def _classic_forward_batched_pallas(
     edges_l = ef(left)
     edges_r = ef(right)
     best, winner = match_and_score_pallas(edges_l, edges_r, params)
-    web = jax.vmap(lambda wn: fill_web_holes(wn, params.times))(winner)
+    web = _fill_web_holes_auto(winner, params.times)
     out, min_e, max_e = jax.vmap(lambda wb: draw_contour(wb, params.lines))(web)
     return {
         "edges-1": edges_l,

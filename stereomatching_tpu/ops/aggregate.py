@@ -10,6 +10,7 @@ entries <= H*W < 2^31).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from stereomatching_tpu.config import BoundaryMode
@@ -39,6 +40,48 @@ def box_sum_padded(padded: jnp.ndarray, half: int) -> jnp.ndarray:
         - sat[..., k:, :-k]
         + sat[..., :-k, :-k]
     )
+
+
+def box_sum_padded_matmul(padded: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Box sum over a ``half``-padded plane via two banded-ones matmuls
+    on the MXU -> int32 [H, W].
+
+    Exact: products are the plane's {0,1} entries in bf16 (integers
+    <= 256 are exact in bf16 — requires square_width <= 255), the f32
+    accumulator holds row sums <= k and window sums <= k^2 < 2^24
+    exactly.  Identical results to the SAT path, ~100x the arithmetic
+    throughput on TPU where the MXU would otherwise idle in this
+    integer pipeline.
+    """
+    k = 2 * half + 1
+    hp, wp = padded.shape[-2], padded.shape[-1]
+    h, w = hp - 2 * half, wp - 2 * half
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, hp), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, hp), 1)
+    col_band = ((jj - ii >= 0) & (jj - ii < k)).astype(jnp.bfloat16)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0)
+    xx2 = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 1)
+    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(jnp.bfloat16)
+    col_sum = jnp.matmul(
+        col_band, padded.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    sums = jnp.matmul(
+        col_sum.astype(jnp.bfloat16), row_band, preferred_element_type=jnp.float32
+    )
+    return sums.astype(jnp.int32)
+
+
+def _use_mxu() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() in ("tpu", "axon")
+
+
+def box_sum_padded_auto(padded: jnp.ndarray, half: int) -> jnp.ndarray:
+    """SAT on CPU/GPU, banded matmul on TPU (bit-identical results)."""
+    if padded.ndim == 2 and _use_mxu() and 2 * half + 1 <= 255:
+        return box_sum_padded_matmul(padded, half)
+    return box_sum_padded(padded, half)
 
 
 def box_sum(

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from stereomatching_tpu.config import BoundaryMode, StereoParams
-from stereomatching_tpu.ops.aggregate import box_sum_padded, pad_plane
+from stereomatching_tpu.ops.aggregate import box_sum_padded_auto, pad_plane
 from stereomatching_tpu.ops.matching import extend_right_edges, match_plane
 
 
@@ -36,7 +36,7 @@ def _score_for_shift(
     mode: BoundaryMode,
 ) -> jnp.ndarray:
     match = match_plane(left_edges, right_ext, shift)
-    sums = box_sum_padded(pad_plane(match, half, mode), half)
+    sums = box_sum_padded_auto(pad_plane(match, half, mode), half)
     # Keep the sum only where a match occurred (record_score,
     # src/stereo.c:172-182); elsewhere 0.
     score = jnp.where(match == 1, sums, 0)

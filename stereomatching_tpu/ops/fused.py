@@ -188,6 +188,58 @@ def _kernel(
     winner_ref[0] = winner
 
 
+def _invoke_kernel(
+    l_pad: jnp.ndarray,
+    r_pad: jnp.ndarray,
+    h: int,
+    w: int,
+    params: StereoParams,
+    tile_rows: int,
+    pad_half: int,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Launch the kernel on fully padded inputs
+    (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2)."""
+    bsz = l_pad.shape[0]
+    hp = l_pad.shape[1] - 2 * pad_half
+    n_tiles = hp // tile_rows
+    kernel = functools.partial(
+        _kernel,
+        tile_rows=tile_rows,
+        width=w,
+        half=params.half,
+        pad_half=pad_half,
+        num_shifts=params.num_shifts,
+    )
+    rows = tile_rows + 2 * pad_half
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, l_pad.shape[-1]), jnp.int32),
+            pltpu.VMEM((rows, r_pad.shape[-1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(l_pad, r_pad)
+
+
 def match_and_score_pallas(
     left_edges: jnp.ndarray,
     right_edges: jnp.ndarray,
@@ -215,45 +267,83 @@ def match_and_score_pallas(
     d = params.num_shifts
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
-    l_pad, r_pad, hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
-    n_tiles = hp // tile_rows
-
-    kernel = functools.partial(
-        _kernel,
-        tile_rows=tile_rows,
-        width=w,
-        half=half,
-        pad_half=pad_half,
-        num_shifts=d,
+    l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
+    best, winner = _invoke_kernel(
+        l_pad, r_pad, h, w, params, tile_rows, pad_half, interpret
     )
-    rows = tile_rows + 2 * pad_half
-    best, winner = pl.pallas_call(
-        kernel,
-        grid=(bsz, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, l_pad.shape[-1]), jnp.int32),
-            pltpu.VMEM((rows, r_pad.shape[-1]), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(l_pad, r_pad)
     best, winner = best[:, :h], winner[:, :h]
     if squeeze:
         best, winner = best[0], winner[0]
     return best, winner
+
+
+def match_and_score_pallas_prehalo(
+    l_halo: jnp.ndarray,
+    r_halo: jnp.ndarray,
+    params: StereoParams,
+    halo: int,
+    tile_rows: int = 128,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel entry for row shards whose y-halo rows were already
+    exchanged from neighbor shards (parallel/pipeline.py).
+
+    ``l_halo`` [B, hs + 2*halo, W] is the left edge map with ``halo``
+    neighbor rows on each side; in ghost mode the caller must have
+    overwritten rows outside the GLOBAL image with a non-edge sentinel
+    (e.g. 2) so their matches vanish.  ``r_halo`` [B, hs + 2*halo,
+    W + num_shifts] is the right map extended in x per the boundary
+    mode (ops/matching.extend semantics), with the same y-halo.
+
+    x padding for the box filter and all alignment padding are applied
+    here; halo must be >= square_width // 2.
+    -> (best, winner) int32 [B, hs, W].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    half = params.half
+    d = params.num_shifts
+    if halo < half:
+        raise ValueError(f"halo {halo} < square_width//2 {half}")
+    bsz, rows_in, w = l_halo.shape
+    hs = rows_in - 2 * halo
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(hs, 8)))
+    pad_half = _round_up(half, 4)
+    hp = _round_up(hs, tile_rows)
+    lw_l = _round_up(w + 2 * half, 128)
+    lw_r = _round_up(w + 2 * half + d, 128)
+
+    # Trim/grow the y-halo to exactly pad_half rows per side, then grow
+    # the bottom to the hp rounding.  Fill rows never reach an interior
+    # output's box window (they are > half away), any value works.
+    l_mid = l_halo[:, halo - half : rows_in - (halo - half), :]
+    r_mid = r_halo[:, halo - half : rows_in - (halo - half), :]
+    grow = pad_half - half
+    wrap = params.mode == BoundaryMode.WRAP
+
+    if wrap:
+        # x pads wrap modulo W (columns 0..W-1 of the given maps are the
+        # raw edge maps in both l and r layouts).
+        xs_l = jnp.arange(-half, -half + lw_l) % w
+        xs_r_src = jnp.arange(-half, -half + lw_r) % w
+        l_x = l_mid[..., xs_l]
+        r_x = r_mid[..., xs_r_src]
+    else:
+        l_x = jnp.pad(
+            l_mid, ((0, 0), (0, 0), (half, lw_l - w - half)),
+            constant_values=_LEFT_SENTINEL,
+        )
+        r_x = jnp.pad(
+            r_mid, ((0, 0), (0, 0), (half, lw_r - (w + d) - half))
+        )
+    l_pad = jnp.pad(
+        l_x, ((0, 0), (grow, grow + hp - hs), (0, 0)),
+        constant_values=_LEFT_SENTINEL,
+    )
+    r_pad = jnp.pad(r_x, ((0, 0), (grow, grow + hp - hs), (0, 0)))
+
+    best, winner = _invoke_kernel(
+        l_pad.astype(jnp.int32), r_pad.astype(jnp.int32),
+        hs, w, params, tile_rows, pad_half, interpret,
+    )
+    return best[:, :hs], winner[:, :hs]

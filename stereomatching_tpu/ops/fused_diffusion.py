@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: the web hole-filling diffusion, all iterations
+fused in VMEM.
+
+The reference runs `times` separate kernel launches, each a full HBM
+round trip of the web plane (src/stereo.cu:247-256); the XLA tier's
+scan does the same through HBM.  Here each row tile is DMA'd to VMEM
+once with a halo of `steps` rows (halo width == dependency reach: the
+influence front moves one row per Jacobi step) and all steps run
+on-chip: HBM traffic is 1 read + 1 write of the plane regardless of
+`times`.
+
+Semantics are the reference's exactly (see ops/diffusion.py):
+  X[t+1][p] = (X[t][p] == 0) ? floor(avg4(X[t])[p]) : X[t-1][p]
+with raw flat-index neighbors p±1 / p±W (x neighbors cross row
+boundaries; out-of-buffer reads are 0) and X[times-1] returned.  The
+flat p±1 semantics are realized with circular lane rolls plus a lane-
+boundary fix-up from the adjacent row; rows outside the global image
+are re-zeroed every step (out-of-buffer cells are 0 *forever*, they do
+not evolve).
+
+Constraint: W must be a multiple of 128 (the lane rolls must rotate
+over exactly W lanes).  Callers fall back to the XLA scan otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    w_hbm,
+    out_ref,
+    w_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    halo: int,
+    width: int,
+    height: int,
+    steps: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = tile_rows + 2 * halo
+
+    cp = pltpu.make_async_copy(
+        w_hbm.at[b, pl.ds(i * tile_rows, rows), :], w_vmem, sems.at[0]
+    )
+    cp.start()
+    cp.wait()
+
+    x0 = w_vmem[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    # Rows outside the global image stay 0 forever (out-of-buffer reads
+    # are 0 and do not evolve).
+    g = i * tile_rows + row - halo
+    in_img = ((g >= 0) & (g < height)).astype(jnp.int32)
+    x0 = x0 * in_img
+
+    def one_step(_, carry):
+        prev, cur = carry
+        # Flat p+1: lane l+1, except lane W-1 takes lane 0 of the row
+        # below.  Rolls are circular with non-negative shifts.
+        right_c = pltpu.roll(cur, width - 1, 1)
+        right = jnp.where(lane == width - 1, pltpu.roll(right_c, rows - 1, 0), right_c)
+        # Flat p-1: lane l-1, except lane 0 takes lane W-1 of the row above.
+        left_c = pltpu.roll(cur, 1, 1)
+        left = jnp.where(lane == 0, pltpu.roll(left_c, 1, 0), left_c)
+        up = pltpu.roll(cur, 1, 0)  # row y-1
+        down = pltpu.roll(cur, rows - 1, 0)  # row y+1
+        avg = (right + down + left + up) // 4
+        nxt = jnp.where(cur == 0, avg, prev) * in_img
+        return cur, nxt
+
+    _, final = jax.lax.fori_loop(0, steps, one_step, (x0, x0))
+    out_ref[0] = final[halo : halo + tile_rows, :]
+
+
+def fill_web_holes_pallas(
+    web: jnp.ndarray,
+    times: int,
+    tile_rows: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused diffusion -> int32, same shape as ``web`` ([H, W] or
+    [B, H, W]).  Requires W % 128 == 0; use ops.diffusion.fill_web_holes
+    otherwise (the pipelines auto-select)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    steps = max(times - 1, 0)
+    squeeze = web.ndim == 2
+    if squeeze:
+        web = web[None]
+    bsz, h, w = web.shape
+    if w % 128 != 0:
+        raise ValueError("fill_web_holes_pallas requires W % 128 == 0")
+    if steps == 0:
+        out = web.astype(jnp.int32)
+        return out[0] if squeeze else out
+
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    halo = _round_up(steps, 4)
+    hp = _round_up(h, tile_rows)
+    w_pad = jnp.pad(
+        web.astype(jnp.int32), ((0, 0), (halo, hp - h + halo), (0, 0))
+    )
+    n_tiles = hp // tile_rows
+    rows = tile_rows + 2 * halo
+
+    kernel = functools.partial(
+        _kernel,
+        tile_rows=tile_rows,
+        halo=halo,
+        width=w,
+        height=h,
+        steps=steps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, w), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(w_pad)
+    out = out[:, :h]
+    return out[0] if squeeze else out

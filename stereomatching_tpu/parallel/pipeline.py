@@ -72,6 +72,7 @@ def _shard_forward(
     right: jnp.ndarray,
     params: StereoParams,
     n_rows: int,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Per-shard body.  left/right: [bl, hs, W] local brightness blocks.
     Runs inside shard_map with ROWS_AXIS/DATA_AXIS bound."""
@@ -113,22 +114,39 @@ def _shard_forward(
     else:
         valid = None
 
-    def step(carry, i):
-        best, winner = carry
-        r_i = jax.lax.dynamic_slice_in_dim(r_ext, i, w, axis=-1)
-        match_ext = (l_ext == r_i).astype(jnp.int32)
-        if valid is not None:
-            match_ext = match_ext * valid
-        sums = box_sum_padded(_pad_x(match_ext, half, mode), half)  # [bl, hs, W]
-        match = match_ext[:, half : half + hs, :]
-        score = jnp.where(match == 1, sums, 0)
-        # Last-wins tie rule (src/stereo.c:211-219) via >= on a running max.
-        winner = jnp.where(score >= best, i + 1, winner)
-        best = jnp.maximum(best, score)
-        return (best, winner), None
+    if use_pallas:
+        # Per-shard VMEM kernel (ops/fused.py) on the halo-exchanged edge
+        # maps: the production intra-chip path.  Out-of-global ghost rows
+        # carry a non-edge sentinel so their matches vanish in-kernel.
+        from stereomatching_tpu.ops.fused import match_and_score_pallas_prehalo
 
-    init = (jnp.zeros((bl, hs, w), jnp.int32), jnp.zeros((bl, hs, w), jnp.int32))
-    (best, winner), _ = jax.lax.scan(step, init, jnp.arange(d, dtype=jnp.int32))
+        l_in = l_ext if valid is None else jnp.where(valid == 1, l_ext, 2)
+        best, winner = match_and_score_pallas_prehalo(
+            l_in, r_ext, params, halo=half
+        )
+    else:
+
+        def step(carry, i):
+            best, winner = carry
+            r_i = jax.lax.dynamic_slice_in_dim(r_ext, i, w, axis=-1)
+            match_ext = (l_ext == r_i).astype(jnp.int32)
+            if valid is not None:
+                match_ext = match_ext * valid
+            sums = box_sum_padded(_pad_x(match_ext, half, mode), half)
+            match = match_ext[:, half : half + hs, :]
+            score = jnp.where(match == 1, sums, 0)
+            # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
+            winner = jnp.where(score >= best, i + 1, winner)
+            best = jnp.maximum(best, score)
+            return (best, winner), None
+
+        init = (
+            jnp.zeros((bl, hs, w), jnp.int32),
+            jnp.zeros((bl, hs, w), jnp.int32),
+        )
+        (best, winner), _ = jax.lax.scan(
+            step, init, jnp.arange(d, dtype=jnp.int32)
+        )
 
     # --- Step 3a: diffusion.  One 1-row exchange per Jacobi step — the
     # reference's flat-index neighbors (p±1, p±w with no wrapping,
@@ -182,10 +200,12 @@ def sharded_classic_forward(
     right: jnp.ndarray,
     params: StereoParams,
     mesh: Mesh,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on a global batch [B, H, W] sharded over ``mesh``.
     B must divide by the data axis, H by the rows axis; shard height must
-    be >= the halo reach max(1, square_width // 2)."""
+    be >= the halo reach max(1, square_width // 2).  ``use_pallas``
+    routes each shard's cost-volume phase through the VMEM kernel."""
     n_rows = mesh.shape[ROWS_AXIS]
     plane = P(DATA_AXIS, ROWS_AXIS, None)
     scalar = P(DATA_AXIS)
@@ -199,7 +219,9 @@ def sharded_classic_forward(
         "min_elevation": scalar,
         "max_elevation": scalar,
     }
-    f = functools.partial(_shard_forward, params=params, n_rows=n_rows)
+    f = functools.partial(
+        _shard_forward, params=params, n_rows=n_rows, use_pallas=use_pallas
+    )
     return jax.shard_map(
         f,
         mesh=mesh,
@@ -210,10 +232,12 @@ def sharded_classic_forward(
 
 
 def build_sharded_pipeline(
-    params: StereoParams, mesh: Mesh
+    params: StereoParams, mesh: Mesh, use_pallas: bool = False
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Jitted sharded pipeline for fixed params and mesh.  Takes global
     [B, H, W] brightness batches (any placement; jit moves them to the
     mesh sharding) and returns the artifact dict of the single-chip tier."""
-    fn = functools.partial(sharded_classic_forward, params=params, mesh=mesh)
+    fn = functools.partial(
+        sharded_classic_forward, params=params, mesh=mesh, use_pallas=use_pallas
+    )
     return jax.jit(fn)

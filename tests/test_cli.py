@@ -124,3 +124,20 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out["output-0"].shape == args[0].shape
     ge.dryrun_multichip(8)
+
+
+def test_modern_pipeline_cli(pair_paths, tmp_path):
+    a, b, _, _ = pair_paths
+    outdir = str(tmp_path / "modern")
+    rc = cli.main(
+        [a, b, "--pipeline", "modern", "--shifts", "8", "0.15", "5",
+         "--outdir", outdir]
+    )
+    assert rc == 0
+    import numpy as np
+
+    with np.load(os.path.join(outdir, "disparity.npz")) as z:
+        assert z["disparity"].shape == (40, 56)
+        assert z["valid"].dtype == bool
+    assert os.path.exists(os.path.join(outdir, "disparity.ppm"))
+    assert os.path.exists(os.path.join(outdir, "valid.ppm"))

@@ -1,0 +1,53 @@
+"""Differential tests for the fused Pallas diffusion kernel vs the
+NumPy oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.oracle.pipeline import fill_web_holes
+from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
+
+
+def _web(h, w, seed, hole_frac=0.3, max_v=30):
+    rng = np.random.default_rng(seed)
+    web = rng.integers(1, max_v + 1, size=(h, w)).astype(np.int32)
+    web[rng.random((h, w)) < hole_frac] = 0
+    return web
+
+
+@pytest.mark.parametrize("times", [2, 5, 32])
+@pytest.mark.parametrize("h,w", [(48, 128), (40, 256)])
+def test_fused_diffusion_matches_oracle(times, h, w):
+    web = _web(h, w, seed=times)
+    want = fill_web_holes(web, times)
+    got = fill_web_holes_pallas(web, times, tile_rows=16)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_fused_diffusion_single_tile_and_batch():
+    webs = np.stack([_web(24, 128, s) for s in range(3)])
+    want = np.stack([fill_web_holes(webs[i], 8) for i in range(3)])
+    got = fill_web_holes_pallas(webs, 8, tile_rows=64)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_fused_diffusion_times_leq_one_identity():
+    web = _web(16, 128, 9)
+    np.testing.assert_array_equal(
+        np.asarray(fill_web_holes_pallas(web, 1)), web
+    )
+
+
+def test_fused_diffusion_rejects_bad_width():
+    with pytest.raises(ValueError, match="128"):
+        fill_web_holes_pallas(_web(16, 100, 0), 4)
+
+
+def test_boundary_rows_stay_zero_semantics():
+    """A hole on the top row must average with the non-evolving zero
+    above it — the reference's out-of-buffer-is-0 semantics."""
+    web = np.full((16, 128), 8, dtype=np.int32)
+    web[0, 64] = 0
+    want = fill_web_holes(web, 6)
+    got = fill_web_holes_pallas(web, 6, tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(got), want)

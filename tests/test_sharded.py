@@ -97,3 +97,23 @@ def test_sharded_matches_single_chip_reference_rule():
         np.testing.assert_array_equal(
             np.asarray(got[name]), np.asarray(want[name]), err_msg=name
         )
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+def test_sharded_pallas_matches_oracle(mode):
+    """Sharded tier with the per-shard Pallas kernel (interpret on CPU):
+    halo exchange feeds the VMEM kernel, output stays bit-identical."""
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12, mode=mode,
+        edge_rule="exact",
+    )
+    mesh = make_mesh(data=2, rows=4)
+    lefts, rights = _batch(n_pairs=2, h=4 * 12, w=48)
+    got = jax.device_get(
+        build_sharded_pipeline(params, mesh, use_pallas=True)(lefts, rights)
+    )
+    want = _oracle_batch(lefts, rights, params)
+    for name in ("score_best", "web-1", "web-2", "output-0"):
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), want[name], err_msg=f"{name} [{mode}]"
+        )
