@@ -45,9 +45,18 @@ def main(argv=None) -> int:
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--graphs", default=None, help="write PNG graphs to this dir")
     p.add_argument("--json", action="store_true", help="emit JSON lines")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the sweep into DIR "
+                        "(view with tensorboard / xprof)")
     args = p.parse_args(argv)
 
+    import contextlib
+
     import jax
+
+    trace_cm = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
 
     params = StereoParams(
         num_shifts=args.shifts, mode=BoundaryMode(args.mode), edge_rule="exact"
@@ -69,7 +78,8 @@ def main(argv=None) -> int:
             print(json.dumps({"phase": r.name, "mean_s": r.mean_s, "min_s": r.min_s}))
 
     print("== size sweep (end-to-end) ==")
-    sweep = size_sweep(_parse_sizes(args.sizes), params, args.iters, args.pallas)
+    with trace_cm:
+        sweep = size_sweep(_parse_sizes(args.sizes), params, args.iters, args.pallas)
     for r in sweep:
         gpps = r.pixels_per_s / 1e9
         print(f"{r.row()}   {gpps:8.2f} Gpixel-passes/s")

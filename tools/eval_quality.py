@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Disparity quality evaluation — the BASELINE.md bad-pixel-rate harness.
+
+Runs the modern SAD pipeline on a stereo pair and scores it against a
+ground-truth disparity map (Middlebury-style bad-1/bad-2/EPE):
+
+    python tools/eval_quality.py left.png right.png gt.npy \
+        [--disparities 64] [--window 9] [--scales 1] [--gt-scale 1.0]
+
+``gt`` may be a .npy float/int array or a grayscale PNG whose pixel
+values are disparity * gt-scale (Middlebury convention: scale 0.25 for
+quarter-pixel PNG encodings).  With ``--synthetic N`` instead of file
+arguments, evaluates on the built-in synthetic scene (exact ground
+truth) at max disparity N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("left", nargs="?")
+    p.add_argument("right", nargs="?")
+    p.add_argument("gt", nargs="?")
+    p.add_argument("--disparities", type=int, default=64)
+    p.add_argument("--window", type=int, default=9)
+    p.add_argument("--scales", type=int, default=1, choices=[1, 2])
+    p.add_argument("--gt-scale", type=float, default=1.0)
+    p.add_argument("--synthetic", type=int, default=None, metavar="MAX_D",
+                   help="evaluate on the built-in synthetic scene instead")
+    args = p.parse_args()
+
+    from stereomatching_tpu.cli import _ensure_platform
+
+    _ensure_platform()
+
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import build_modern_pipeline
+    from stereomatching_tpu.utils.imageio import read_png_gray
+    from stereomatching_tpu.utils.metrics import disparity_report
+    from stereomatching_tpu.utils.synthetic import blob_scene
+
+    if args.synthetic is not None:
+        left, right, gt = blob_scene(
+            h=270, w=480, seed=0, max_disparity=args.synthetic
+        )
+        gt = gt.astype(np.float64)
+    else:
+        if not (args.left and args.right and args.gt):
+            p.error("need left right gt (or --synthetic)")
+        left = read_png_gray(args.left)
+        right = read_png_gray(args.right)
+        if args.gt.endswith(".npy"):
+            gt = np.load(args.gt).astype(np.float64)
+        else:
+            gt = read_png_gray(args.gt).astype(np.float64)
+        gt = gt * args.gt_scale
+
+    params = ModernParams(
+        num_disparities=args.disparities, window=args.window, scales=args.scales
+    )
+    fn = build_modern_pipeline(params)
+    out = fn(left.astype(np.int32), right.astype(np.int32))
+
+    valid = np.array(out["valid"])
+    report = disparity_report(np.asarray(out["subpixel"]), gt, valid)
+    report_filled = disparity_report(np.asarray(out["filled"]), gt)
+    print(json.dumps({
+        "valid_pixels": report,
+        "filled_all_pixels": report_filled,
+        "params": {"disparities": args.disparities, "window": args.window,
+                   "scales": args.scales},
+    }, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
