@@ -128,6 +128,8 @@ class ModernParams:
     fill_iterations: int = 16  # diffusion sweeps for invalidated pixels
     scales: int = 1  # 1 = single scale; 2 = fuse a half-res cost pyramid
     coarse_weight: int = 1  # integer weight of the upsampled coarse cost
+    cost: str = "sad"  # "sad" | "census" (Hamming on census codes)
+    census_window: int = 5  # census neighborhood (3 or 5)
 
     def __post_init__(self) -> None:
         if self.num_disparities < 2:
@@ -138,6 +140,10 @@ class ModernParams:
             raise ValueError("scales must be 1 or 2")
         if self.lr_max_diff < 0 or self.fill_iterations < 0:
             raise ValueError("lr_max_diff/fill_iterations must be >= 0")
+        if self.cost not in ("sad", "census"):
+            raise ValueError("cost must be 'sad' or 'census'")
+        if self.census_window not in (3, 5):
+            raise ValueError("census_window must be 3 or 5")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -52,6 +52,25 @@ def _upsample2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)[:h, :w]
 
 
+def _pixel_cost(params: ModernParams):
+    """Per-pixel dissimilarity: SAD (|a-b| on intensities) or census
+    Hamming distance (popcount of XORed census codes) — both exact
+    int32."""
+    if params.cost == "census":
+        from stereomatching_tpu.ops.costvolume import popcount32
+
+        return lambda a, b: popcount32(a ^ b)
+    return lambda a, b: jnp.abs(a - b)
+
+
+def _maybe_census(img: jnp.ndarray, params: ModernParams) -> jnp.ndarray:
+    if params.cost == "census":
+        from stereomatching_tpu.ops.costvolume import census_transform
+
+        return census_transform(img, params.census_window)
+    return img
+
+
 def _cost_fn(
     ref: jnp.ndarray,
     other: jnp.ndarray,
@@ -63,7 +82,9 @@ def _cost_fn(
     half = params.window // 2
     d_count = params.num_disparities
     extend = _extend_left if reference == "left" else _extend_right
-    other_ext = extend(other, d_count)
+    pcost = _pixel_cost(params)
+    ref_t = _maybe_census(ref, params)
+    other_ext = extend(_maybe_census(other, params), d_count)
 
     def window_at(ext, d, shape, count):
         offset = (count - d) if reference == "left" else d
@@ -74,13 +95,14 @@ def _cost_fn(
     if params.scales == 1:
         def cost_at(d):
             win = window_at(other_ext, d, (h, w), d_count)
-            return _aggregate(jnp.abs(ref - win), half)
+            return _aggregate(pcost(ref_t, win), half)
 
         return cost_at
 
     # scales == 2: half-res pyramid level, fused by integer weight.
-    ref_c = _downsample2(ref)
-    other_c = _downsample2(other)
+    # The coarse level transforms (census) the downsampled intensities.
+    ref_c = _maybe_census(_downsample2(ref), params)
+    other_c = _maybe_census(_downsample2(other), params)
     hc, wc = ref_c.shape
     dc_count = -(-d_count // 2)
     other_c_ext = extend(other_c, dc_count)
@@ -88,9 +110,9 @@ def _cost_fn(
 
     def cost_at(d):
         win = window_at(other_ext, d, (h, w), d_count)
-        fine = _aggregate(jnp.abs(ref - win), half)
+        fine = _aggregate(pcost(ref_t, win), half)
         win_c = window_at(other_c_ext, d // 2, (hc, wc), dc_count)
-        coarse = _aggregate(jnp.abs(ref_c - win_c), half)
+        coarse = _aggregate(pcost(ref_c, win_c), half)
         return fine + weight * _upsample2(coarse, h, w)
 
     return cost_at

@@ -153,6 +153,42 @@ def sad_disparity(
     return argmin_subpixel_scan(cost_at, num_disparities, (h, w))
 
 
+def census_transform(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+    """Census transform: per pixel, one bit per neighbor in the
+    ``window`` x ``window`` neighborhood (center excluded), set iff the
+    neighbor's intensity is strictly below the center's.  Borders
+    replicate.  -> int32 bit codes [H, W] (window <= 5 -> 24 bits).
+
+    Census matching is illumination-invariant (only intensity ORDER
+    matters) — the robust alternative to SAD on real imagery.  Integer
+    end to end, so bit-deterministic on every backend.
+    """
+    if window < 3 or window % 2 == 0 or window > 5:
+        raise ValueError("census window must be 3 or 5")
+    half = window // 2
+    p = jnp.pad(img.astype(jnp.int32), half, mode="edge")
+    h, w = img.shape
+    code = jnp.zeros((h, w), jnp.int32)
+    bit = 0
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = p[half + dy : half + dy + h, half + dx : half + dx + w]
+            code = code | ((nb < img).astype(jnp.int32) << bit)
+            bit += 1
+    return code
+
+
+def popcount32(v: jnp.ndarray) -> jnp.ndarray:
+    """SWAR population count of int32 bit patterns (vectorizes on the
+    VPU; no lookup tables)."""
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return (v * 0x01010101) >> 24
+
+
 def lr_consistency(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,

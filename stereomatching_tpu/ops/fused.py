@@ -240,11 +240,34 @@ def _invoke_kernel(
     )(l_pad, r_pad)
 
 
+def _auto_tile_rows(
+    w: int, half: int, num_shifts: int, budget_bytes: int = 12 * 2**20
+) -> int:
+    """Largest tile height (multiple of 8, <= 256) whose working set fits
+    the VMEM budget.  256 measured fastest at 1 MP (better MXU M-dim
+    utilization than 128); shrink for very wide images."""
+    pad_half = _round_up(half, 4)
+    lw_l = _round_up(w + 2 * half, 128)
+    lw_r = _round_up(w + 2 * half + num_shifts, 128)
+    tile = 256
+    while tile > 8:
+        rows = tile + 2 * pad_half
+        est = (
+            rows * (lw_l + lw_r) * 4  # l/r scratch (int32)
+            + rows * lw_l * (2 + 4 + 4)  # match bf16 + col_sum f32 + match i32
+            + tile * w * 4 * 2  # best/winner carries
+        )
+        if est <= budget_bytes:
+            return tile
+        tile -= 8
+    return 8
+
+
 def match_and_score_pallas(
     left_edges: jnp.ndarray,
     right_edges: jnp.ndarray,
     params: StereoParams,
-    tile_rows: int = 128,
+    tile_rows: int | None = None,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
@@ -265,6 +288,8 @@ def match_and_score_pallas(
     bsz, h, w = left_edges.shape
     half = params.half
     d = params.num_shifts
+    if tile_rows is None:
+        tile_rows = _auto_tile_rows(w, half, d)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
     l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
@@ -282,7 +307,7 @@ def match_and_score_pallas_prehalo(
     r_halo: jnp.ndarray,
     params: StereoParams,
     halo: int,
-    tile_rows: int = 128,
+    tile_rows: int | None = None,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel entry for row shards whose y-halo rows were already
@@ -307,6 +332,8 @@ def match_and_score_pallas_prehalo(
         raise ValueError(f"halo {halo} < square_width//2 {half}")
     bsz, rows_in, w = l_halo.shape
     hs = rows_in - 2 * halo
+    if tile_rows is None:
+        tile_rows = _auto_tile_rows(w, half, d)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(hs, 8)))
     pad_half = _round_up(half, 4)
     hp = _round_up(hs, tile_rows)

@@ -41,7 +41,6 @@ from stereomatching_tpu.config import (
     StereoParams,
 )
 from stereomatching_tpu.ops.aggregate import box_sum_padded
-from stereomatching_tpu.ops.contour import draw_contour  # noqa: F401 (single-chip twin)
 from stereomatching_tpu.ops.edges import find_edges_padded
 from stereomatching_tpu.parallel.halo import with_row_halo
 from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS

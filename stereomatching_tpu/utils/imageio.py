@@ -17,7 +17,7 @@ import io
 import struct
 import zlib
 from enum import Enum
-from typing import Tuple
+
 
 import numpy as np
 

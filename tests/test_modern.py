@@ -141,3 +141,72 @@ def test_multiscale_coarse_influences_cost():
     c2 = np.asarray(disparity_one_view(left.astype(np.int32), right.astype(np.int32), p2).cost)
     assert (c2 >= c1).all()  # coarse adds non-negative cost
     assert (c2 > c1).any()
+
+
+def test_popcount32():
+    from stereomatching_tpu.ops.costvolume import popcount32
+
+    vals = np.array([0, 1, 3, 0xFFFFFF, 0x00F0F0F0, 2**24 - 1], dtype=np.int32)
+    got = np.asarray(popcount32(vals))
+    want = np.array([bin(int(v)).count("1") for v in vals])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_census_transform_brute_force():
+    from stereomatching_tpu.ops.costvolume import census_transform
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(12, 16)).astype(np.int32)
+    got = np.asarray(census_transform(img, 3))
+    p = np.pad(img, 1, mode="edge")
+    for y in range(12):
+        for x in range(16):
+            bit = 0
+            code = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    if p[1 + y + dy, 1 + x + dx] < img[y, x]:
+                        code |= 1 << bit
+                    bit += 1
+            assert got[y, x] == code, (y, x)
+
+
+@pytest.mark.parametrize("scales", [1, 2])
+def test_census_cost_recovers_known_shift(scales):
+    from stereomatching_tpu.utils.metrics import bad_pixel_rate
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, size=(40, 80)).astype(np.int32)
+    shift = 4
+    left, right = base, np.roll(base, -shift, axis=1)
+    params = ModernParams(num_disparities=12, window=7, cost="census",
+                          scales=scales)
+    out = build_modern_pipeline(params)(left, right)
+    valid = np.array(out["valid"])
+    valid[:, : shift + 8] = False
+    gt = np.full((40, 80), float(shift))
+    assert bad_pixel_rate(np.asarray(out["disparity"]), gt, 1.0, valid) < 0.02
+
+
+def test_census_invariant_to_illumination_gain():
+    """Census matching must survive a brightness scaling of one view
+    that breaks SAD."""
+    from stereomatching_tpu.models.modern import disparity_one_view
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(20, 200, size=(40, 80)).astype(np.int32)
+    shift = 3
+    left = base
+    right_dimmed = (np.roll(base, -shift, axis=1) * 0.5).astype(np.int32)
+    census = ModernParams(num_disparities=8, window=7, cost="census")
+    d_census = np.asarray(
+        disparity_one_view(left, right_dimmed, census).disparity
+    )[:, shift + 8 : -8]
+    sad = ModernParams(num_disparities=8, window=7, cost="sad")
+    d_sad = np.asarray(
+        disparity_one_view(left, right_dimmed, sad).disparity
+    )[:, shift + 8 : -8]
+    assert (d_census == shift).mean() > 0.95
+    assert (d_census == shift).mean() > (d_sad == shift).mean()
