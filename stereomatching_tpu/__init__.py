@@ -21,6 +21,7 @@ thesis project ``chrg127/stereomatching`` (see SURVEY.md):
 
 from stereomatching_tpu.config import (
     BoundaryMode,
+    ModernParams,
     StereoParams,
     DEFAULT_THRESHOLD,
     DEFAULT_SQUARE_WIDTH,
@@ -33,10 +34,27 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BoundaryMode",
+    "ModernParams",
     "StereoParams",
     "DEFAULT_THRESHOLD",
     "DEFAULT_SQUARE_WIDTH",
     "DEFAULT_TIMES",
     "DEFAULT_LINES",
     "NUM_SHIFTS",
+    # Lazy convenience re-exports (see __getattr__): Matcher,
+    # ModernMatcher, StereoPairDataset, BatchLoader.
 ]
+
+
+def __getattr__(name):
+    """Lazy re-exports so ``import stereomatching_tpu`` stays light
+    (no jax import at package import time)."""
+    if name in ("Matcher", "ModernMatcher"):
+        from stereomatching_tpu import serving
+
+        return getattr(serving, name)
+    if name in ("StereoPairDataset", "BatchLoader", "discover_pairs"):
+        from stereomatching_tpu import data
+
+        return getattr(data, name)
+    raise AttributeError(name)

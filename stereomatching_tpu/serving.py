@@ -1,0 +1,130 @@
+"""Serving API: a stateful ``Matcher`` wrapping the jitted pipelines.
+
+The deployment-facing surface for continuous operation (the reference
+is one-shot: load two images, run, exit, src/stereo.c:335-392).  A
+``Matcher``:
+
+  * caches one compiled executable per (shape, batch) — repeated calls
+    at production shapes never retrace;
+  * accepts uint8 pixel arrays or brightness floats, single pairs or
+    batches;
+  * selects the execution tier (xla / pallas / sharded over a mesh);
+  * exposes ``warmup`` so compilation happens at startup, not on the
+    first request (first compiles through a remote-compile TPU tunnel
+    can take minutes — see docs/DESIGN.md).
+
+    matcher = Matcher(StereoParams(num_shifts=64), tier="pallas")
+    matcher.warmup((1080, 1920))
+    arts = matcher(left_u8, right_u8)      # dict of np arrays
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from stereomatching_tpu.config import ModernParams, StereoParams
+
+
+class Matcher:
+    """Shape-cached classic-pipeline runner."""
+
+    def __init__(
+        self,
+        params: Optional[StereoParams] = None,
+        tier: str = "xla",
+        mesh=None,
+    ):
+        if tier not in ("xla", "pallas", "sharded"):
+            raise ValueError(tier)
+        if tier == "sharded" and mesh is None:
+            raise ValueError("sharded tier needs a mesh (parallel.make_mesh)")
+        self.params = params or StereoParams(edge_rule="exact")
+        self.tier = tier
+        self.mesh = mesh
+        self._cache: Dict[Tuple[int, ...], object] = {}
+
+    def _build(self, batched: bool):
+        if self.tier == "sharded":
+            from stereomatching_tpu.parallel import build_sharded_pipeline
+
+            return build_sharded_pipeline(self.params, self.mesh)
+        from stereomatching_tpu.models.classic import build_classic_pipeline
+
+        return build_classic_pipeline(
+            self.params, batched=batched, use_pallas=self.tier == "pallas"
+        )
+
+    def _fn(self, shape: Tuple[int, ...]):
+        key = (len(shape),) + tuple(shape)
+        if key not in self._cache:
+            batched = len(shape) == 3 or self.tier == "sharded"
+            self._cache[key] = self._build(batched)
+        return self._cache[key]
+
+    @staticmethod
+    def _to_brightness(img: np.ndarray) -> np.ndarray:
+        img = np.asarray(img)
+        if np.issubdtype(img.dtype, np.integer):
+            return img.astype(np.float32) / np.float32(256.0)
+        return img.astype(np.float32)
+
+    def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
+        """Compile for (H, W) (and batch) ahead of serving."""
+        shape = (batch, *hw) if batch else hw
+        if self.tier == "sharded" and batch is None:
+            shape = (1, *hw)
+        zeros = np.zeros(shape, np.float32)
+        import jax
+
+        jax.block_until_ready(self._fn(shape)(zeros, zeros))
+
+    def __call__(self, left: np.ndarray, right: np.ndarray) -> Dict[str, np.ndarray]:
+        import jax
+
+        lb = self._to_brightness(left)
+        rb = self._to_brightness(right)
+        if lb.shape != rb.shape:
+            raise ValueError("the two images must have equal width and height")
+        squeeze = lb.ndim == 2 and self.tier == "sharded"
+        if squeeze:
+            lb, rb = lb[None], rb[None]
+        out = jax.device_get(self._fn(lb.shape)(lb, rb))
+        if squeeze:
+            out = {k: np.asarray(v)[0] for k, v in out.items()}
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+class ModernMatcher:
+    """Shape-cached modern-pipeline (SAD/census) runner."""
+
+    def __init__(self, params: Optional[ModernParams] = None):
+        self.params = params or ModernParams()
+        self._cache: Dict[Tuple[int, ...], object] = {}
+
+    def _fn(self, shape: Tuple[int, ...]):
+        if shape not in self._cache:
+            from stereomatching_tpu.models.modern import build_modern_pipeline
+
+            self._cache[shape] = build_modern_pipeline(
+                self.params, batched=len(shape) == 3
+            )
+        return self._cache[shape]
+
+    def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
+        shape = (batch, *hw) if batch else hw
+        zeros = np.zeros(shape, np.int32)
+        import jax
+
+        jax.block_until_ready(self._fn(shape)(zeros, zeros))
+
+    def __call__(self, left: np.ndarray, right: np.ndarray) -> Dict[str, np.ndarray]:
+        import jax
+
+        l = np.asarray(left).astype(np.int32)
+        r = np.asarray(right).astype(np.int32)
+        if l.shape != r.shape:
+            raise ValueError("the two images must have equal width and height")
+        out = jax.device_get(self._fn(l.shape)(l, r))
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,145 @@
+"""Tests for the data loader and serving API."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import ModernParams, StereoParams
+from stereomatching_tpu.data import BatchLoader, StereoPairDataset, discover_pairs
+from stereomatching_tpu.oracle import pipeline as oracle
+from stereomatching_tpu.serving import Matcher, ModernMatcher
+from stereomatching_tpu.utils.imageio import to_brightness, write_png_gray
+from tests.util import synthetic_pair
+
+
+@pytest.fixture
+def dataset_root(tmp_path):
+    for i in range(5):
+        d = tmp_path / f"{i}-pair"
+        d.mkdir()
+        l, r = synthetic_pair(h=32, w=48, seed=i)
+        write_png_gray(str(d / "a.png"), l)
+        write_png_gray(str(d / "b.png"), r)
+    # one flat-convention pair
+    l, r = synthetic_pair(h=32, w=48, seed=9)
+    write_png_gray(str(tmp_path / "x_left.png"), l)
+    write_png_gray(str(tmp_path / "x_right.png"), r)
+    return str(tmp_path)
+
+
+def test_discover_and_dataset(dataset_root):
+    pairs = discover_pairs(dataset_root)
+    assert len(pairs) == 6
+    ds = StereoPairDataset.from_root(dataset_root)
+    l, r = ds[0]
+    assert l.shape == (32, 48) and l.dtype == np.uint8
+
+
+def test_batch_loader_shapes_and_counts(dataset_root):
+    ds = StereoPairDataset.from_root(dataset_root)
+    batches = list(BatchLoader(ds, batch_size=4, device_put=False))
+    assert len(batches) == 2
+    lb, rb, count = batches[0]
+    assert lb.shape == (4, 32, 48) and lb.dtype == np.float32
+    assert count == 4
+    _, _, count2 = batches[1]
+    assert count2 == 2  # padded partial batch, real count preserved
+    assert batches[1][0].shape == (4, 32, 48)
+
+
+def test_batch_loader_drop_last_and_values(dataset_root):
+    ds = StereoPairDataset.from_root(dataset_root)
+    batches = list(BatchLoader(ds, batch_size=4, drop_last=True, device_put=False))
+    assert len(batches) == 1
+    l0, _ = ds[0]
+    np.testing.assert_array_equal(
+        np.asarray(batches[0][0][0]), to_brightness(l0, np.float32)
+    )
+
+
+def test_batch_loader_mixed_shapes_skips(tmp_path, capsys):
+    for i, (h, w) in enumerate([(32, 48), (32, 48), (16, 24)]):
+        d = tmp_path / f"{i}"
+        d.mkdir()
+        l, r = synthetic_pair(h=h, w=w, seed=i)
+        write_png_gray(str(d / "a.png"), l)
+        write_png_gray(str(d / "b.png"), r)
+    ds = StereoPairDataset.from_root(str(tmp_path))
+    batches = list(BatchLoader(ds, batch_size=3, device_put=False))
+    assert batches[0][2] == 2  # third pair skipped
+
+
+def test_batch_loader_pad_to(tmp_path):
+    for i, (h, w) in enumerate([(32, 48), (16, 24)]):
+        d = tmp_path / f"{i}"
+        d.mkdir()
+        l, r = synthetic_pair(h=h, w=w, seed=i)
+        write_png_gray(str(d / "a.png"), l)
+        write_png_gray(str(d / "b.png"), r)
+    ds = StereoPairDataset.from_root(str(tmp_path))
+    batches = list(BatchLoader(ds, batch_size=2, pad_to=(32, 48), device_put=False))
+    assert batches[0][0].shape == (2, 32, 48)
+    assert batches[0][2] == 2
+
+
+def test_matcher_single_and_batch():
+    params = StereoParams(square_width=9, times=4, lines=4, num_shifts=8,
+                          edge_rule="exact")
+    m = Matcher(params)
+    left, right = synthetic_pair(h=32, w=48, seed=1)
+    out = m(left, right)  # uint8 input path
+    want = oracle.run_pipeline(to_brightness(left), to_brightness(right), params)
+    np.testing.assert_array_equal(out["output-0"], want["output-0"])
+    lb = np.stack([to_brightness(left, np.float32)] * 2)
+    rb = np.stack([to_brightness(right, np.float32)] * 2)
+    out_b = m(lb, rb)  # float batch path
+    np.testing.assert_array_equal(out_b["output-0"][0], want["output-0"])
+    assert len(m._cache) == 2  # one executable per shape
+
+
+def test_matcher_warmup_caches():
+    m = Matcher(StereoParams(square_width=5, times=2, num_shifts=4,
+                             edge_rule="exact"))
+    m.warmup((16, 24))
+    assert len(m._cache) == 1
+    left, right = synthetic_pair(h=16, w=24, seed=2)
+    m(left, right)
+    assert len(m._cache) == 1  # reused
+
+
+def test_matcher_sharded_tier():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs CPU mesh")
+    from stereomatching_tpu.parallel import make_mesh
+
+    params = StereoParams(square_width=9, times=4, lines=4, num_shifts=8,
+                          edge_rule="exact")
+    m = Matcher(params, tier="sharded", mesh=make_mesh(data=1, rows=8))
+    left, right = synthetic_pair(h=64, w=48, seed=3)
+    out = m(left, right)
+    want = oracle.run_pipeline(to_brightness(left), to_brightness(right), params)
+    np.testing.assert_array_equal(out["output-0"], want["output-0"])
+
+
+def test_modern_matcher():
+    m = ModernMatcher(ModernParams(num_disparities=8, window=5))
+    left, right = synthetic_pair(h=24, w=32, seed=4)
+    out = m(left, right)
+    assert out["disparity"].shape == (24, 32)
+    m.warmup((24, 32))
+    assert len(m._cache) == 1
+
+
+def test_loader_feeds_matcher(dataset_root):
+    params = StereoParams(square_width=5, times=2, num_shifts=4, edge_rule="exact")
+    m = Matcher(params)
+    ds = StereoPairDataset.from_root(dataset_root)
+    total = 0
+    for lb, rb, count in BatchLoader(ds, batch_size=4, device_put=True):
+        out = m(np.asarray(lb), np.asarray(rb))
+        assert out["output-0"].shape == (4, 32, 48)
+        total += count
+    assert total == 6
