@@ -245,7 +245,11 @@ def _auto_tile_rows(
 ) -> int:
     """Largest tile height (multiple of 8, <= 256) whose working set fits
     the VMEM budget.  256 measured fastest at 1 MP (better MXU M-dim
-    utilization than 128); shrink for very wide images."""
+    utilization than 128); shrink for very wide images.  The estimate
+    deliberately undercounts Mosaic's temporaries; empirically 256-row
+    tiles at W=1024, D=64 run up to batch 16 (batch 32 tips the 16 MB
+    scoped-vmem stack — pass an explicit smaller ``tile_rows`` for very
+    large batch grids)."""
     pad_half = _round_up(half, 4)
     lw_l = _round_up(w + 2 * half, 128)
     lw_r = _round_up(w + 2 * half + num_shifts, 128)
