@@ -123,10 +123,13 @@ def disparity_one_view(
     right: jnp.ndarray,
     params: ModernParams,
     reference: str = "left",
+    use_pallas: bool = False,
 ) -> DisparityResult:
     """Fused disparity for one reference view; pixel planes are integer
-    intensities 0..255, [H, W].  Left reference matches L(x) vs R(x-d);
-    right reference matches R(x) vs L(x+d)."""
+    intensities 0..255, [H, W] (or [B, H, W] with ``use_pallas``).
+    Left reference matches L(x) vs R(x-d); right reference matches
+    R(x) vs L(x+d).  ``use_pallas`` routes through the VMEM kernel
+    (ops/fused_modern.py; scales=1 only)."""
     if reference == "left":
         ref, other = left, right
     elif reference == "right":
@@ -135,24 +138,47 @@ def disparity_one_view(
         raise ValueError(reference)
     ref = ref.astype(jnp.int32)
     other = other.astype(jnp.int32)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_modern import disparity_pallas
+
+        # The kernel consumes the cost's raw planes: census codes for
+        # census (computed full-image, then extended in-kernel via the
+        # clamp gather), intensities for SAD.
+        if params.cost == "census":
+            if ref.ndim == 3:
+                tf = jax.vmap(lambda x: _maybe_census(x, params))
+            else:
+                tf = lambda x: _maybe_census(x, params)  # noqa: E731
+            ref, other = tf(ref), tf(other)
+        return disparity_pallas(ref, other, params, reference)
     cost_at = _cost_fn(ref, other, params, reference)
     return argmin_subpixel_scan(cost_at, params.num_disparities, ref.shape)
 
 
 def modern_forward(
-    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full modern pipeline on one pair of integer intensity planes
     [H, W] (uint8 pixel values; pass ``pixels`` not brightness).
+    With ``use_pallas``, [B, H, W] batches are also accepted (the
+    kernel takes the batch as a grid dimension).
 
     Returns: disparity (int32), subpixel (f32), disparity_right (int32),
     valid (bool, LR-consistent), filled (f32: subpixel with invalid
     pixels diffused from valid neighbors), cost (int32 at the winner).
     """
-    dl = disparity_one_view(left, right, params, "left")
-    dr = disparity_one_view(left, right, params, "right")
-    valid = lr_consistency(dl.disparity, dr.disparity, params.lr_max_diff)
-    filled = fill_invalid(dl.subpixel, valid, params.fill_iterations)
+    dl = disparity_one_view(left, right, params, "left", use_pallas)
+    dr = disparity_one_view(left, right, params, "right", use_pallas)
+    batched = left.ndim == 3
+    lr = functools.partial(lr_consistency, max_diff=params.lr_max_diff)
+    fill = functools.partial(fill_invalid, iterations=params.fill_iterations)
+    if batched:
+        lr, fill = jax.vmap(lr), jax.vmap(fill)
+    valid = lr(dl.disparity, dr.disparity)
+    filled = fill(dl.subpixel, valid)
     return {
         "disparity": dl.disparity,
         "subpixel": dl.subpixel,
@@ -164,9 +190,9 @@ def modern_forward(
 
 
 def build_modern_pipeline(
-    params: ModernParams, batched: bool = False
+    params: ModernParams, batched: bool = False, use_pallas: bool = False
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
-    fn = functools.partial(modern_forward, params=params)
-    if batched:
-        fn = jax.vmap(fn)
+    fn = functools.partial(modern_forward, params=params, use_pallas=use_pallas)
+    if batched and not use_pallas:
+        fn = jax.vmap(functools.partial(modern_forward, params=params))
     return jax.jit(fn)

@@ -1,0 +1,281 @@
+"""Pallas TPU kernel: fused modern cost volume (SAD or census) with
+argmin, neighbor tracking, and sub-pixel parabola refine.
+
+Same architecture as the classic kernel (ops/fused.py): one invocation
+per row tile, DMA in once, slide the matching view one lane per step
+(static rolls), aggregate windows with banded-ones bf16 matmuls on the
+MXU, keep only the running argmin state — the [D, H, W] volume never
+exists.  HBM traffic: 2 image reads + 3 small plane writes per view.
+
+Exactness of the bf16 matmul aggregation requires every matmul INPUT to
+be an integer <= 256 (bf16's exact-integer range); the f32 accumulator
+is exact far beyond the sums that occur.  Two regimes:
+
+* census: per-pixel costs are Hamming distances <= census bits (24), so
+  the column sums (<= bits * window) stay bf16-exact for window <= 9 at
+  5x5 census / window <= 31 at 3x3.  Direct.
+* sad: per-pixel |a-b| <= 255 exceeds the range, so costs are split
+  into base-8 digits (each <= 7; column sums <= 7*window <= 256 up to
+  window 36) aggregated separately and recombined as 64*S2 + 8*S1 + S0
+  in int32 — exact for any pixel values.
+
+Out-of-frame semantics match models/modern.py: the matching view is
+edge-replicated in x (host pre-extension); cost contributions from
+out-of-frame REFERENCE pixels are zeroed by a static validity mask
+(the zero-padded aggregation of ops/costvolume._aggregate).
+
+Argmin carries (best, best_d, c_left, c_right, c_prev, was_new) follow
+ops/costvolume.argmin_subpixel_scan exactly — first-minimum tie rule —
+and the parabola runs in-kernel after the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stereomatching_tpu.config import ModernParams
+from stereomatching_tpu.ops.costvolume import DisparityResult
+
+_BIG = 2**30  # matches ops.costvolume._BIG; plain int so the kernel
+# does not close over a traced constant
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    ref_hbm,
+    oth_hbm,
+    disp_ref,
+    sub_ref,
+    cost_ref,
+    ref_vmem,
+    oth_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    width: int,
+    height: int,
+    half: int,
+    pad_half: int,
+    num_disp: int,
+    slide_from_high: bool,
+    sad_split: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = tile_rows + 2 * pad_half
+    k = 2 * half + 1
+    w2h = width + 2 * half
+
+    cp_r = pltpu.make_async_copy(
+        ref_hbm.at[b, pl.ds(i * tile_rows, rows), :], ref_vmem, sems.at[0]
+    )
+    cp_o = pltpu.make_async_copy(
+        oth_hbm.at[b, pl.ds(i * tile_rows, rows), :], oth_vmem, sems.at[1]
+    )
+    cp_r.start()
+    cp_o.start()
+    cp_r.wait()
+    cp_o.wait()
+
+    ref = ref_vmem[:][:, 0:w2h]
+    y0 = pad_half - half
+
+    # Validity mask: cost contributions from out-of-frame reference
+    # pixels are zero (rows outside the global image, lanes in the
+    # x halo).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, w2h), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, w2h), 1)
+    g = i * tile_rows + row_ids - pad_half
+    in_frame = (
+        (g >= 0) & (g < height) & (lane_ids >= half) & (lane_ids < half + width)
+    ).astype(jnp.int32)
+
+    # Banded aggregation matrices (ops/fused.py rationale).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 1)
+    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(jnp.bfloat16)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 0)
+    xx2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 1)
+    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(jnp.bfloat16)
+
+    def box(plane_i32):
+        cs = jnp.dot(col_band, plane_i32.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        s = jnp.dot(cs.astype(jnp.bfloat16), row_band,
+                    preferred_element_type=jnp.float32)
+        return s.astype(jnp.int32)
+
+    if sad_split:
+        def agg_cost(pc):
+            # base-8 digit split keeps matmul inputs <= 7 (bf16-exact
+            # column sums for any window <= 36).
+            return 64 * box(pc >> 6) + 8 * box((pc >> 3) & 7) + box(pc & 7)
+    else:
+        agg_cost = box
+
+    big_plane = jnp.full((tile_rows, width), _BIG, jnp.int32)
+
+    def step(d, carry):
+        best, best_d, c_left, c_right, c_prev, was_new, o_cur = carry
+        window = o_cur[:, 0:w2h]
+        if sad_split:
+            pcost = jnp.abs(ref - window) * in_frame
+        else:
+            # census: Hamming distance via SWAR popcount of the XOR.
+            v = ref ^ window
+            v = v - ((v >> 1) & 0x55555555)
+            v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+            v = (v + (v >> 4)) & 0x0F0F0F0F
+            pcost = ((v * 0x01010101) >> 24) * in_frame
+        c = agg_cost(pcost)
+        c_right = jnp.where(was_new, c, c_right)
+        is_new = c < best
+        nxt = (
+            jnp.where(is_new, c, best),
+            jnp.where(is_new, d, best_d),
+            jnp.where(is_new, c_prev, c_left),
+            jnp.where(is_new, big_plane, c_right),
+            c,
+            is_new,
+            pltpu.roll(o_cur, 1 if slide_from_high else o_cur.shape[1] - 1, 1),
+        )
+        return nxt
+
+    lanes = oth_vmem.shape[1]
+    o_init = oth_vmem[:]
+    if slide_from_high:
+        # Left reference reads offset (D - d): pre-rotate left by D so
+        # the first window is at offset D, then rotate right 1/step.
+        o_init = pltpu.roll(o_init, lanes - num_disp, 1)
+    init = (
+        big_plane,
+        jnp.zeros((tile_rows, width), jnp.int32),
+        big_plane,
+        big_plane,
+        big_plane,
+        jnp.zeros((tile_rows, width), jnp.bool_),
+        o_init,
+    )
+    best, best_d, c_left, c_right, _, _, _ = jax.lax.fori_loop(
+        0, num_disp, step, init
+    )
+
+    cl = c_left.astype(jnp.float32)
+    cm = best.astype(jnp.float32)
+    cr = c_right.astype(jnp.float32)
+    denom = cl - 2.0 * cm + cr
+    valid = (c_left < _BIG) & (c_right < _BIG) & (denom > 0)
+    offset = jnp.where(valid, (cl - cr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+
+    disp_ref[0] = best_d
+    sub_ref[0] = best_d.astype(jnp.float32) + offset
+    cost_ref[0] = best
+
+
+def disparity_pallas(
+    ref: jnp.ndarray,
+    other: jnp.ndarray,
+    params: ModernParams,
+    reference: str = "left",
+    tile_rows: int = 128,
+    interpret: bool | None = None,
+) -> DisparityResult:
+    """Fused modern disparity for one view.  ``ref``/``other`` are the
+    raw planes for the kernel's cost: intensities (0..255) for SAD,
+    census codes for census (callers use models/modern helpers).
+    [H, W] or [B, H, W].  scales=1 only; exactness constraint for
+    census: census bits * window <= 255.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if params.scales != 1:
+        raise ValueError("disparity_pallas supports scales=1 (XLA tier for 2)")
+    if params.cost == "census":
+        bits = params.census_window**2 - 1
+        if bits * params.window > 255:
+            raise ValueError(
+                "census bits * window must be <= 255 for bf16-exact "
+                f"aggregation (got {bits} * {params.window})"
+            )
+    squeeze = ref.ndim == 2
+    if squeeze:
+        ref = ref[None]
+        other = other[None]
+    bsz, h, w = ref.shape
+    half = params.window // 2
+    d = params.num_disparities
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    pad_half = _round_up(max(half, 1), 4)
+    hp = _round_up(h, tile_rows)
+    lw_r = _round_up(w + 2 * half, 128)
+    lw_o = _round_up(w + 2 * half + d, 128)
+
+    # Reference plane: value in halo irrelevant (masked); matching view:
+    # edge-replicate x (the clamp semantics of ops/costvolume), any y.
+    ref_pad = jnp.pad(
+        ref.astype(jnp.int32), ((0, 0), (pad_half, hp - h + pad_half), (half, lw_r - w - half))
+    )
+    # x coordinate of lane j in the slide layout: left-ref lane j reads
+    # other[x] for x = j - half - D .. ; simplest exact construction via
+    # clamped gather (host-side, one-time).
+    if reference == "left":
+        xs = jnp.clip(jnp.arange(lw_o) - half - d, 0, w - 1)
+        slide_from_high = True
+    elif reference == "right":
+        xs = jnp.clip(jnp.arange(lw_o) - half, 0, w - 1)
+        slide_from_high = False
+    else:
+        raise ValueError(reference)
+    oth_x = other.astype(jnp.int32)[..., xs]
+    oth_pad = jnp.pad(oth_x, ((0, 0), (pad_half, hp - h + pad_half), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel,
+        tile_rows=tile_rows,
+        width=w,
+        height=h,
+        half=half,
+        pad_half=pad_half,
+        num_disp=d,
+        slide_from_high=slide_from_high,
+        sad_split=params.cost == "sad",
+    )
+    rows = tile_rows + 2 * pad_half
+    n_tiles = hp // tile_rows
+    out_spec = pl.BlockSpec(
+        (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    disp, sub, cost = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, lw_r), jnp.int32),
+            pltpu.VMEM((rows, lw_o), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ref_pad, oth_pad)
+    disp, sub, cost = disp[:, :h], sub[:, :h], cost[:, :h]
+    if squeeze:
+        disp, sub, cost = disp[0], sub[0], cost[0]
+    return DisparityResult(disparity=disp, subpixel=sub, cost=cost)
