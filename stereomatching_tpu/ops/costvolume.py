@@ -54,7 +54,9 @@ def _aggregate(absdiff: jnp.ndarray, half: int) -> jnp.ndarray:
     return box_sum_padded(p, half)
 
 
-_BIG = jnp.int32(2**30)
+# Sentinel cost (plain int: a jnp scalar here would initialize the JAX
+# backend at import time and cannot be closed over by Pallas kernels).
+_BIG = 2**30
 
 
 def argmin_subpixel_scan(
