@@ -130,6 +130,12 @@ class ModernParams:
     coarse_weight: int = 1  # integer weight of the upsampled coarse cost
     cost: str = "sad"  # "sad" | "census" (Hamming on census codes)
     census_window: int = 5  # census neighborhood (3 or 5)
+    # Aggregation: "box" (windowed sum, fused scan/kernel) or "sgm"
+    # (4-path Semi-Global Matching over the materialized volume with
+    # per-pixel costs; `window` is then unused).
+    aggregation: str = "box"
+    sgm_p1: int = 8  # SGM small-change penalty (|dd| == 1)
+    sgm_p2: int = 96  # SGM jump penalty (|dd| > 1)
 
     def __post_init__(self) -> None:
         if self.num_disparities < 2:
@@ -144,6 +150,10 @@ class ModernParams:
             raise ValueError("cost must be 'sad' or 'census'")
         if self.census_window not in (3, 5):
             raise ValueError("census_window must be 3 or 5")
+        if self.aggregation not in ("box", "sgm"):
+            raise ValueError("aggregation must be 'box' or 'sgm'")
+        if self.sgm_p1 < 0 or self.sgm_p2 < self.sgm_p1:
+            raise ValueError("need 0 <= sgm_p1 <= sgm_p2")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

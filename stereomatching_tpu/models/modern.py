@@ -155,6 +155,48 @@ def disparity_one_view(
     return argmin_subpixel_scan(cost_at, params.num_disparities, ref.shape)
 
 
+def _sgm_forward(
+    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+) -> Dict[str, jnp.ndarray]:
+    """SGM path: per-pixel costs (no window), materialized [H, W, D]
+    volume, 4-direction semi-global aggregation, volume argmin +
+    sub-pixel, right disparity via the standard volume re-projection."""
+    from stereomatching_tpu.ops.sgm import (
+        right_disparity_from_left_volume,
+        sgm_aggregate,
+        volume_argmin_subpixel,
+    )
+
+    ref = _maybe_census(left.astype(jnp.int32), params)
+    other = _maybe_census(right.astype(jnp.int32), params)
+    h, w = ref.shape
+    d_count = params.num_disparities
+    other_ext = _extend_left(other, d_count)
+    pcost = _pixel_cost(params)
+
+    def cost_at(d):
+        win = jax.lax.dynamic_slice(
+            other_ext, (jnp.zeros((), d.dtype), d_count - d), (h, w)
+        )
+        return pcost(ref, win)
+
+    vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
+    vol = jnp.moveaxis(vol, 0, -1)  # [H, W, D]
+    agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+    disp, sub, cost = volume_argmin_subpixel(agg)
+    dr = right_disparity_from_left_volume(agg)
+    valid = lr_consistency(disp, dr, params.lr_max_diff)
+    filled = fill_invalid(sub, valid, params.fill_iterations)
+    return {
+        "disparity": disp,
+        "subpixel": sub,
+        "disparity_right": dr,
+        "valid": valid,
+        "filled": filled,
+        "cost": cost,
+    }
+
+
 def modern_forward(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -170,6 +212,11 @@ def modern_forward(
     valid (bool, LR-consistent), filled (f32: subpixel with invalid
     pixels diffused from valid neighbors), cost (int32 at the winner).
     """
+    if params.aggregation == "sgm":
+        if use_pallas:
+            raise ValueError("SGM aggregation runs on the XLA tier")
+        fn = functools.partial(_sgm_forward, params=params)
+        return jax.vmap(fn)(left, right) if left.ndim == 3 else fn(left, right)
     dl = disparity_one_view(left, right, params, "left", use_pallas)
     dr = disparity_one_view(left, right, params, "right", use_pallas)
     batched = left.ndim == 3

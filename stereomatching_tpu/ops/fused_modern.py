@@ -137,7 +137,9 @@ def _kernel(
             v = (v + (v >> 4)) & 0x0F0F0F0F
             pcost = ((v * 0x01010101) >> 24) * in_frame
         c = agg_cost(pcost)
-        c_right = jnp.where(was_new, c, c_right)
+        # was_new is carried as int32 {0,1}: an i1 vector in the loop
+        # carry fails Mosaic's scf.for legalization.
+        c_right = jnp.where(was_new == 1, c, c_right)
         is_new = c < best
         nxt = (
             jnp.where(is_new, c, best),
@@ -145,7 +147,7 @@ def _kernel(
             jnp.where(is_new, c_prev, c_left),
             jnp.where(is_new, big_plane, c_right),
             c,
-            is_new,
+            is_new.astype(jnp.int32),
             pltpu.roll(o_cur, 1 if slide_from_high else o_cur.shape[1] - 1, 1),
         )
         return nxt
@@ -162,7 +164,7 @@ def _kernel(
         big_plane,
         big_plane,
         big_plane,
-        jnp.zeros((tile_rows, width), jnp.bool_),
+        jnp.zeros((tile_rows, width), jnp.int32),
         o_init,
     )
     best, best_d, c_left, c_right, _, _, _ = jax.lax.fori_loop(
