@@ -26,6 +26,9 @@ graphs:
 	$(PY) -m stereomatching_tpu.bench --graphs report
 
 # Cross-repo golden diff against the compiled C reference (test/diff.sh).
+multihost:
+	python tools/multihost_smoke.py --procs 2 --local-devices 2
+
 golden:
 	tools/diff_vs_reference.sh
 

@@ -65,6 +65,11 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     )
     p.add_argument("--scales", type=int, default=1, choices=[1, 2],
                    help="modern pipeline: multi-scale cost fusion levels")
+    p.add_argument("--cost", choices=["sad", "census"], default="sad",
+                   help="modern pipeline: matching cost")
+    p.add_argument("--aggregation", choices=["box", "sgm"], default="box",
+                   help="modern pipeline: windowed box sum or 4-path "
+                        "Semi-Global Matching")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
     p.add_argument("--shifts", type=int, default=None, help="number of disparities")
     p.add_argument("--outdir", default=".", help="artifact output directory")
@@ -196,7 +201,8 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     from stereomatching_tpu.config import ModernParams
     from stereomatching_tpu.models.modern import build_modern_pipeline
 
-    kw = {"scales": args.scales}
+    kw = {"scales": args.scales, "cost": args.cost,
+          "aggregation": args.aggregation}
     if args.shifts is not None:
         kw["num_disparities"] = args.shifts
     if args.square_width is not None:

@@ -141,3 +141,14 @@ def test_modern_pipeline_cli(pair_paths, tmp_path):
         assert z["valid"].dtype == bool
     assert os.path.exists(os.path.join(outdir, "disparity.ppm"))
     assert os.path.exists(os.path.join(outdir, "valid.ppm"))
+
+
+def test_modern_cli_sgm_census(pair_paths, tmp_path):
+    a, b, _, _ = pair_paths
+    outdir = str(tmp_path / "sgm")
+    rc = cli.main(
+        [a, b, "--pipeline", "modern", "--shifts", "8", "--cost", "census",
+         "--aggregation", "sgm", "--outdir", outdir]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "disparity.npz"))
