@@ -2,7 +2,7 @@
 # graphs; Makefile:1-87) for a Python/JAX framework.
 PY ?= python
 
-.PHONY: all native test test-tpu bench sweep graphs golden clean
+.PHONY: all native test test-tpu bench sweep graphs multihost golden clean
 
 all: native
 
@@ -25,10 +25,11 @@ sweep:
 graphs:
 	$(PY) -m stereomatching_tpu.bench --graphs report
 
-# Cross-repo golden diff against the compiled C reference (test/diff.sh).
+# Multi-process (multi-host emulation) correctness smoke.
 multihost:
 	python tools/multihost_smoke.py --procs 2 --local-devices 2
 
+# Cross-repo golden diff against the compiled C reference (test/diff.sh).
 golden:
 	tools/diff_vs_reference.sh
 
