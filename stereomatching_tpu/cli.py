@@ -112,7 +112,12 @@ def _run_oracle(left, right, params, collect):
 
 def _ensure_platform():
     """Honor JAX_PLATFORMS even when a site hook has pinned the platform
-    via jax.config (config wins over the env var in that case)."""
+    via jax.config (config wins over the env var in that case), and
+    enable the persistent compilation cache (TPU compiles through a
+    remote tunnel take minutes; repeated CLI invocations at the same
+    shape should pay once)."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         import jax
@@ -150,7 +155,14 @@ def _run_pallas(left, right, params, collect):
 
     from stereomatching_tpu.models.classic import build_classic_pipeline
 
-    del collect  # per-shift planes are never materialized in the fused kernel
+    if collect:
+        # The fused kernel never materializes per-shift planes; the jax
+        # tier produces the identical planes for debugging.
+        print(
+            "warning: --collect is unavailable on the pallas tier "
+            "(per-shift planes are fused away); use --tier jax",
+            file=sys.stderr,
+        )
     fn = build_classic_pipeline(params, use_pallas=True)
     return dict(jax.device_get(fn(left, right)))
 

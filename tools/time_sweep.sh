@@ -15,13 +15,12 @@ export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
 for dir in "$REF"/test/imgs/*/; do
     name=$(basename "$dir")
-    total=0
+    times=""
     for _ in $(seq "$RUNS"); do
         line=$(python -m stereomatching_tpu.cli "$dir/a.png" "$dir/b.png" \
             --tier "$TIER" --no-writes)
-        t=$(echo "$line" | awk '{print $15}')
-        total=$(echo "$total + $t" | bc)
+        times="$times $(echo "$line" | awk '{print $15}')"
     done
-    avg=$(echo "scale=6; $total / $RUNS" | bc)
+    avg=$(echo "$times" | awk '{s=0; for (i=1;i<=NF;i++) s+=$i; printf "%.6f", s/NF}')
     echo "$name: $avg s (tier=$TIER, avg of $RUNS)"
 done
