@@ -68,6 +68,7 @@ def _kernel(
     num_disp: int,
     slide_from_high: bool,
     sad_split: bool,
+    cost_max: int,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -99,19 +100,25 @@ def _kernel(
         (g >= 0) & (g < height) & (lane_ids >= half) & (lane_ids < half + width)
     ).astype(jnp.int32)
 
-    # Banded aggregation matrices (ops/fused.py rationale).
+    # Banded aggregation matrices (ops/fused.py rationale).  int8 MXU
+    # dots (2x bf16 rate) whenever the per-pixel cost bound keeps the
+    # column sums within int8: max cost 7 for SAD digits, census bits
+    # otherwise (``cost_max`` is static).
+    use_int8 = cost_max * k <= 127
+    band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if use_int8 else jnp.float32
     ii = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 1)
-    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(jnp.bfloat16)
+    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(band_dtype)
     jj2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 0)
     xx2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 1)
-    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(jnp.bfloat16)
+    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(band_dtype)
 
     def box(plane_i32):
-        cs = jnp.dot(col_band, plane_i32.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-        s = jnp.dot(cs.astype(jnp.bfloat16), row_band,
-                    preferred_element_type=jnp.float32)
+        cs = jnp.dot(col_band, plane_i32.astype(band_dtype),
+                     preferred_element_type=acc_dtype)
+        s = jnp.dot(cs.astype(band_dtype), row_band,
+                    preferred_element_type=acc_dtype)
         return s.astype(jnp.int32)
 
     if sad_split:
@@ -251,6 +258,7 @@ def disparity_pallas(
         num_disp=d,
         slide_from_high=slide_from_high,
         sad_split=params.cost == "sad",
+        cost_max=7 if params.cost == "sad" else params.census_window**2 - 1,
     )
     rows = tile_rows + 2 * pad_half
     n_tiles = hp // tile_rows
