@@ -257,6 +257,11 @@ def _auto_tile_rows(
     pad_half = _round_up(half, 4)
     lw_l = _round_up(w + 2 * half, 128)
     lw_r = _round_up(w + 2 * half + num_shifts, 128)
+    import os
+
+    override = os.environ.get("STEREO_TILE_ROWS")
+    if override:
+        return max(8, _round_up(int(override), 8))
     tile = 256
     while tile > 8:
         rows = tile + 2 * pad_half

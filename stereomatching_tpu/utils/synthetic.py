@@ -62,6 +62,59 @@ def textured_shift(
     return left, right, np.full((h, w), shift, dtype=np.int32)
 
 
+def random_dot_stereogram(
+    h: int,
+    w: int,
+    seed: int = 0,
+    max_disparity: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classic random-dot stereogram (Julesz): dense binary-noise texture
+    with a raised central square — matchable ONLY by stereo
+    correspondence (no monocular structure at all).
+    -> (left u8, right u8, disparity i32)."""
+    rng = np.random.default_rng(seed)
+    left = (rng.random((h, w)) < 0.5).astype(np.uint8) * 255
+    disparity = np.zeros((h, w), dtype=np.int32)
+    disparity[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = max_disparity // 2 + 1
+    yy, xx = np.mgrid[0:h, 0:w]
+    right = left[yy, (xx + disparity) % w]
+    return left, right, disparity
+
+
+def slanted_plane(
+    h: int,
+    w: int,
+    seed: int = 0,
+    d_min: float = 1.0,
+    d_max: float = 6.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Textured plane whose disparity ramps linearly across x — the
+    sub-pixel probe: integer argmax gives a staircase, parabola
+    refinement should track the ramp.  The right view is resampled with
+    linear interpolation at fractional offsets.
+    -> (left u8, right u8, disparity f64 [H, W])."""
+    rng = np.random.default_rng(seed)
+    # Smooth-ish texture so interpolation stays meaningful.
+    base = rng.random((h, w + 16))
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+    k = np.outer(k, k) / 256.0
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad = np.pad(base, 2, mode="wrap")
+    tex = (sliding_window_view(pad, (5, 5)) * k).sum(axis=(-2, -1))[: h, : w + 16]
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-9)
+    left = (tex[:, :w] * 255).astype(np.uint8)
+    disparity = d_min + (d_max - d_min) * np.arange(w) / max(w - 1, 1)
+    disparity = np.broadcast_to(disparity, (h, w)).copy()
+    xs = np.arange(w)[None, :] + disparity  # right samples left at x + d
+    x0 = np.clip(np.floor(xs).astype(int), 0, w + 14)
+    frac = xs - np.floor(xs)
+    rows = np.arange(h)[:, None]
+    right_f = tex[rows, x0] * (1 - frac) + tex[rows, x0 + 1] * frac
+    right = (right_f * 255).astype(np.uint8)
+    return left, right, disparity
+
+
 def size_sweep_sizes() -> Tuple[Tuple[int, int], ...]:
     """The reference's fixture resolutions (test/imgs/, SURVEY.md §2 #22),
     including the 8K pair stripped from its mirror."""

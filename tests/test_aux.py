@@ -67,3 +67,43 @@ def test_cli_pallas_tier(tmp_path):
     want = oracle.run_pipeline(to_brightness(left), to_brightness(right), params)
     got = read_ppm(f"{outdir}/output-0.ppm")
     np.testing.assert_array_equal(got == 0, want["output-0"] == 1)
+
+
+def test_random_dot_stereogram_solvable_only_by_stereo():
+    """The Julesz RDS has zero monocular structure; the modern pipeline
+    must still recover the raised square."""
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import build_modern_pipeline
+    from stereomatching_tpu.utils.metrics import bad_pixel_rate
+    from stereomatching_tpu.utils.synthetic import random_dot_stereogram
+
+    left, right, disp = random_dot_stereogram(64, 96, seed=1, max_disparity=8)
+    out = build_modern_pipeline(ModernParams(num_disparities=8, window=7))(
+        left.astype(np.int32), right.astype(np.int32)
+    )
+    valid = np.array(out["valid"])
+    valid[:, :12] = False  # left occlusion band
+    # interior of both regions (boundaries are genuinely ambiguous)
+    rate = bad_pixel_rate(np.asarray(out["disparity"]), disp, 1.0, valid)
+    assert rate < 0.08, rate
+
+
+def test_slanted_plane_subpixel_beats_integer():
+    """On a disparity ramp, parabola sub-pixel output must track the
+    ramp more closely than the integer staircase does."""
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import build_modern_pipeline
+    from stereomatching_tpu.utils.metrics import end_point_error
+    from stereomatching_tpu.utils.synthetic import slanted_plane
+
+    left, right, gt = slanted_plane(48, 128, seed=2, d_min=1.0, d_max=5.0)
+    out = build_modern_pipeline(ModernParams(num_disparities=8, window=9))(
+        left.astype(np.int32), right.astype(np.int32)
+    )
+    valid = np.array(out["valid"])
+    valid[:, :12] = False
+    valid[:, -4:] = False
+    epe_int = end_point_error(np.asarray(out["disparity"]), gt, valid)
+    epe_sub = end_point_error(np.asarray(out["subpixel"]), gt, valid)
+    assert epe_sub < epe_int, (epe_sub, epe_int)
+    assert epe_sub < 0.35, epe_sub
