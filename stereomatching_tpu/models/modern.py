@@ -185,7 +185,7 @@ def _sgm_forward(
     agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     disp, sub, cost = volume_argmin_subpixel(agg)
     dr = right_disparity_from_left_volume(agg)
-    valid = lr_consistency(disp, dr, params.lr_max_diff)
+    valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
     filled = fill_invalid(sub, valid, params.fill_iterations)
     return {
         "disparity": disp,
@@ -220,7 +220,11 @@ def modern_forward(
     dl = disparity_one_view(left, right, params, "left", use_pallas)
     dr = disparity_one_view(left, right, params, "right", use_pallas)
     batched = left.ndim == 3
-    lr = functools.partial(lr_consistency, max_diff=params.lr_max_diff)
+    lr = functools.partial(
+        lr_consistency,
+        max_diff=params.lr_max_diff,
+        num_disparities=params.num_disparities,
+    )
     fill = functools.partial(fill_invalid, iterations=params.fill_iterations)
     if batched:
         lr, fill = jax.vmap(lr), jax.vmap(fill)

@@ -195,17 +195,47 @@ def lr_consistency(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
     max_diff: int = 1,
+    num_disparities: int | None = None,
 ) -> jnp.ndarray:
     """Left-right consistency mask: pixel x is consistent iff
     |dL(x) - dR(x - dL(x))| <= max_diff and x - dL(x) is in frame.
-    -> bool [H, W]."""
+    -> bool [H, W].
+
+    With ``num_disparities`` given, the data-dependent lookup is
+    evaluated as a scan over disparities with static slides — for each
+    d, pixels where dL == d check the d-shifted right map.  TPU gathers
+    serialize badly; the D-step scan of elementwise ops is much faster
+    (and exactly equivalent).  Without it, a take_along_axis gather is
+    used (fine on CPU).
+    """
     h, w = disp_left.shape
-    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
-    target = xs - disp_left
-    in_frame = target >= 0
-    idx = jnp.clip(target, 0, w - 1)
-    dr_at = jnp.take_along_axis(disp_right, idx, axis=1)
-    return in_frame & (jnp.abs(disp_left - dr_at) <= max_diff)
+    if num_disparities is None:
+        xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+        target = xs - disp_left
+        in_frame = target >= 0
+        idx = jnp.clip(target, 0, w - 1)
+        dr_at = jnp.take_along_axis(disp_right, idx, axis=1)
+        return in_frame & (jnp.abs(disp_left - dr_at) <= max_diff)
+
+    big = jnp.int32(2**20)  # out-of-frame sentinel: never within max_diff
+    dr_ext = jnp.concatenate(
+        [jnp.full((h, num_disparities), big, disp_right.dtype), disp_right],
+        axis=1,
+    )
+
+    def step(valid, d):
+        dr_shift = jax.lax.dynamic_slice(
+            dr_ext, (jnp.zeros((), d.dtype), num_disparities - d), (h, w)
+        )
+        ok = (disp_left == d) & (jnp.abs(dr_shift - d) <= max_diff)
+        return valid | ok, None
+
+    valid, _ = jax.lax.scan(
+        step,
+        jnp.zeros((h, w), bool),
+        jnp.arange(num_disparities, dtype=jnp.int32),
+    )
+    return valid
 
 
 def fill_invalid(
