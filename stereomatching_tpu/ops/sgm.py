@@ -77,35 +77,46 @@ def sgm_aggregate(
 def volume_argmin_subpixel(vol: jnp.ndarray):
     """First-minimum argmin over the last axis + parabola sub-pixel
     refine on the neighbors (the materialized-volume counterpart of
-    ops/costvolume.argmin_subpixel_scan).
+    ops/costvolume.argmin_subpixel_scan — and implemented BY it: a
+    D-step scan of static channel slices; TPU gathers serialize, so
+    take_along_axis on the volume is the wrong tool).
     -> (disparity int32, subpixel f32, cost int32), each [H, W]."""
-    d_count = vol.shape[-1]
-    best_d = jnp.argmin(vol, axis=-1).astype(jnp.int32)  # first min wins
-    best = jnp.take_along_axis(vol, best_d[..., None], axis=-1)[..., 0]
-    lo = jnp.take_along_axis(
-        vol, jnp.clip(best_d - 1, 0, d_count - 1)[..., None], axis=-1
-    )[..., 0]
-    hi = jnp.take_along_axis(
-        vol, jnp.clip(best_d + 1, 0, d_count - 1)[..., None], axis=-1
-    )[..., 0]
-    interior = (best_d > 0) & (best_d < d_count - 1)
-    cl = lo.astype(jnp.float32)
-    cm = best.astype(jnp.float32)
-    cr = hi.astype(jnp.float32)
-    denom = cl - 2.0 * cm + cr
-    valid = interior & (denom > 0)
-    offset = jnp.where(valid, (cl - cr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0)
-    offset = jnp.clip(offset, -0.5, 0.5)
-    return best_d, best_d.astype(jnp.float32) + offset, best
+    from stereomatching_tpu.ops.costvolume import argmin_subpixel_scan
+
+    h, w, d_count = vol.shape
+
+    def cost_at(d):
+        return jax.lax.dynamic_index_in_dim(vol, d, axis=-1, keepdims=False)
+
+    res = argmin_subpixel_scan(cost_at, d_count, (h, w))
+    return res.disparity, res.subpixel, res.cost
 
 
 def right_disparity_from_left_volume(vol: jnp.ndarray) -> jnp.ndarray:
     """Right-view disparity from the LEFT-referenced volume via the
     standard re-projection cost_R(x, d) = cost_L(x + d, d) (clamped) —
     avoids a second aggregation pass; used for LR consistency.
-    -> int32 [H, W]."""
+    Evaluated as a D-step scan (one static-size slice per disparity),
+    not a gather.  -> int32 [H, W]."""
     h, w, d_count = vol.shape
-    xs = jnp.arange(w)[:, None] + jnp.arange(d_count)[None, :]  # [W, D]
-    xs = jnp.clip(xs, 0, w - 1)
-    vol_r = vol[:, xs, jnp.arange(d_count)[None, :]]  # [H, W, D]
-    return jnp.argmin(vol_r, axis=-1).astype(jnp.int32)
+    # Edge-replicate x so x + d clamps to the last column.
+    ext = jnp.concatenate(
+        [vol, jnp.repeat(vol[:, -1:, :], d_count, axis=1)], axis=1
+    )
+
+    def step(carry, d):
+        best, best_d = carry
+        zero = jnp.zeros((), d.dtype)
+        c = jax.lax.dynamic_slice(ext, (zero, d, d), (h, w, 1))[..., 0]
+        is_new = c < best
+        return (jnp.where(is_new, c, best), jnp.where(is_new, d, best_d)), None
+
+    init = (
+        jnp.full((h, w), _BIG, vol.dtype),
+        jnp.zeros((h, w), jnp.int32),
+    )
+    (best, best_d), _ = jax.lax.scan(
+        step, init, jnp.arange(d_count, dtype=jnp.int32)
+    )
+    del best
+    return best_d
