@@ -76,3 +76,78 @@ def test_fuzz_pallas_kernel_matches_oracle(seed):
                                   err_msg=f"best cfg={params} tile={tile}")
     np.testing.assert_array_equal(np.asarray(gw), winner,
                                   err_msg=f"winner cfg={params} tile={tile}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sharded_matches_oracle(seed):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs CPU mesh")
+    from stereomatching_tpu.parallel import build_sharded_pipeline, make_mesh
+    from stereomatching_tpu.oracle import pipeline as oracle_mod
+
+    rng = np.random.default_rng(3000 + seed)
+    rows = int(rng.choice([2, 4, 8]))
+    data = int(rng.choice([1, 2]))
+    if data * rows > 8:
+        data = 1
+    sw = int(rng.choice([3, 5, 7, 9]))
+    hs = int(rng.integers(max(sw // 2, 2), 20))
+    h = rows * hs
+    w = int(rng.integers(24, 80))
+    params = StereoParams(
+        threshold=float(rng.uniform(0.05, 0.4)),
+        square_width=sw,
+        times=int(rng.integers(0, 8)),
+        lines=int(rng.integers(1, 8)),
+        num_shifts=int(rng.integers(1, 24)),
+        mode=BoundaryMode(rng.choice(["wrap", "ghost"])),
+        edge_rule="exact",
+    )
+    use_pallas = bool(rng.integers(0, 2))
+    mesh = make_mesh(data=data, rows=rows, devices=jax.devices()[: data * rows])
+    lefts, rights = [], []
+    for i in range(data):
+        l, r = synthetic_pair(h=h, w=w, seed=seed * 10 + i)
+        lefts.append(to_brightness(l, np.float32))
+        rights.append(to_brightness(r, np.float32))
+    lb, rb = np.stack(lefts), np.stack(rights)
+    got = jax.device_get(
+        build_sharded_pipeline(params, mesh, use_pallas=use_pallas)(lb, rb)
+    )
+    for i in range(data):
+        want = oracle_mod.run_pipeline(
+            lb[i].astype(np.float64), rb[i].astype(np.float64), params
+        )
+        for k in ("score_best", "web-2", "output-0"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k][i]), want[k],
+                err_msg=f"{k} mesh={data}x{rows} pallas={use_pallas} {params}",
+            )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_modern_pallas_matches_scan(seed):
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import disparity_one_view
+
+    rng = np.random.default_rng(4000 + seed)
+    cost = str(rng.choice(["sad", "census"]))
+    window = int(rng.choice([1, 3, 5, 7, 9]))
+    params = ModernParams(
+        num_disparities=int(rng.integers(2, 32)),
+        window=window,
+        cost=cost,
+        census_window=int(rng.choice([3, 5])),
+    )
+    h = int(rng.integers(12, 48))
+    w = int(rng.integers(20, 72))
+    left, right = synthetic_pair(h=h, w=w, seed=seed)
+    ref = str(rng.choice(["left", "right"]))
+    l, r = left.astype(np.int32), right.astype(np.int32)
+    want = disparity_one_view(l, r, params, ref)
+    got = disparity_one_view(l, r, params, ref, use_pallas=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.disparity), np.asarray(want.disparity),
+        err_msg=f"{params} ref={ref} h={h} w={w}",
+    )
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(want.cost))
