@@ -42,9 +42,46 @@ def box_sum_padded(padded: jnp.ndarray, half: int) -> jnp.ndarray:
     )
 
 
+def make_box_bands(
+    out_rows: int,
+    in_rows: int,
+    in_cols: int,
+    out_cols: int,
+    k: int,
+    y0: int = 0,
+    band_dtype=jnp.bfloat16,
+):
+    """Banded-ones matrices realizing a k-wide separable box sum as two
+    matmuls: ``col_band [out_rows, in_rows]`` sums rows [i+y0, i+y0+k)
+    and ``row_band [in_cols, out_cols]`` sums columns [x, x+k).  Shared
+    by the XLA tier and the Pallas kernels (which pass y0 = pad_half -
+    half and their dtype choice)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 1)
+    col_band = ((jj - ii >= y0) & (jj - ii < y0 + k)).astype(band_dtype)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (in_cols, out_cols), 0)
+    xx2 = jax.lax.broadcasted_iota(jnp.int32, (in_cols, out_cols), 1)
+    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(band_dtype)
+    return col_band, row_band
+
+
+def apply_box_bands(col_band, row_band, plane, acc_dtype=jnp.float32):
+    """sums = col_band @ plane @ row_band with the exactness-preserving
+    cast discipline (inputs in band dtype, accumulate in acc_dtype)
+    -> int32 with leading batch dims broadcast."""
+    band_dtype = col_band.dtype
+    cs = jnp.matmul(
+        col_band, plane.astype(band_dtype), preferred_element_type=acc_dtype
+    )
+    s = jnp.matmul(
+        cs.astype(band_dtype), row_band, preferred_element_type=acc_dtype
+    )
+    return s.astype(jnp.int32)
+
+
 def box_sum_padded_matmul(padded: jnp.ndarray, half: int) -> jnp.ndarray:
     """Box sum over a ``half``-padded plane via two banded-ones matmuls
-    on the MXU -> int32 [H, W].
+    on the MXU -> int32 [..., H, W] (leading batch dims broadcast).
 
     Exact: products are the plane's {0,1} entries in bf16 (integers
     <= 256 are exact in bf16 — requires square_width <= 255), the f32
@@ -56,19 +93,8 @@ def box_sum_padded_matmul(padded: jnp.ndarray, half: int) -> jnp.ndarray:
     k = 2 * half + 1
     hp, wp = padded.shape[-2], padded.shape[-1]
     h, w = hp - 2 * half, wp - 2 * half
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h, hp), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (h, hp), 1)
-    col_band = ((jj - ii >= 0) & (jj - ii < k)).astype(jnp.bfloat16)
-    jj2 = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 0)
-    xx2 = jax.lax.broadcasted_iota(jnp.int32, (wp, w), 1)
-    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(jnp.bfloat16)
-    col_sum = jnp.matmul(
-        col_band, padded.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )
-    sums = jnp.matmul(
-        col_sum.astype(jnp.bfloat16), row_band, preferred_element_type=jnp.float32
-    )
-    return sums.astype(jnp.int32)
+    col_band, row_band = make_box_bands(h, hp, wp, w, k)
+    return apply_box_bands(col_band, row_band, padded)
 
 
 def _use_mxu() -> bool:
@@ -79,7 +105,7 @@ def _use_mxu() -> bool:
 
 def box_sum_padded_auto(padded: jnp.ndarray, half: int) -> jnp.ndarray:
     """SAT on CPU/GPU, banded matmul on TPU (bit-identical results)."""
-    if padded.ndim == 2 and _use_mxu() and 2 * half + 1 <= 255:
+    if _use_mxu() and 2 * half + 1 <= 255:
         return box_sum_padded_matmul(padded, half)
     return box_sum_padded(padded, half)
 

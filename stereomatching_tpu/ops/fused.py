@@ -149,12 +149,11 @@ def _kernel(
     use_int8 = 2 * half + 1 <= 127
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
-    ii = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 1)
-    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(band_dtype)
-    jj2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 0)
-    xx2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 1)
-    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(band_dtype)
+    from stereomatching_tpu.ops.aggregate import apply_box_bands, make_box_bands
+
+    col_band, row_band = make_box_bands(
+        tile_rows, rows, w2h, width, 2 * half + 1, y0, band_dtype
+    )
 
     def shift_step(d, carry):
         best, winner, r_cur = carry
@@ -164,15 +163,7 @@ def _kernel(
         # on the right absorb the rotation so wraparound never enters
         # the window.
         match_ext = (l[:, 0:w2h] == r_cur[:, 0:w2h]).astype(jnp.int32)
-        col_sum = jnp.dot(  # [tile_rows, w2h], values <= k
-            col_band, match_ext.astype(band_dtype),
-            preferred_element_type=acc_dtype,
-        )
-        sums_a = jnp.dot(  # [tile_rows, width], values <= k*k
-            col_sum.astype(band_dtype), row_band,
-            preferred_element_type=acc_dtype,
-        )
-        sums = sums_a.astype(jnp.int32)
+        sums = apply_box_bands(col_band, row_band, match_ext, acc_dtype)
         match = match_ext[pad_half : pad_half + tile_rows, half : half + width]
         score = jnp.where(match == 1, sums, 0)
         # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
@@ -195,7 +186,6 @@ def _kernel(
 def _invoke_kernel(
     l_pad: jnp.ndarray,
     r_pad: jnp.ndarray,
-    h: int,
     w: int,
     params: StereoParams,
     tile_rows: int,
@@ -294,6 +284,14 @@ def match_and_score_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if params.square_width > 255:
+        # Column sums reach square_width; beyond 255 even the bf16
+        # matmul path loses exactness.  The XLA tier's SAT path has no
+        # such bound.
+        raise ValueError(
+            "match_and_score_pallas requires square_width <= 255 "
+            "(use the XLA tier for larger windows)"
+        )
     squeeze = left_edges.ndim == 2
     if squeeze:
         left_edges = left_edges[None]
@@ -307,7 +305,7 @@ def match_and_score_pallas(
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
     l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
     best, winner = _invoke_kernel(
-        l_pad, r_pad, h, w, params, tile_rows, pad_half, interpret
+        l_pad, r_pad, w, params, tile_rows, pad_half, interpret
     )
     best, winner = best[:, :h], winner[:, :h]
     if squeeze:
@@ -384,6 +382,6 @@ def match_and_score_pallas_prehalo(
 
     best, winner = _invoke_kernel(
         l_pad.astype(jnp.int32), r_pad.astype(jnp.int32),
-        hs, w, params, tile_rows, pad_half, interpret,
+        w, params, tile_rows, pad_half, interpret,
     )
     return best[:, :hs], winner[:, :hs]

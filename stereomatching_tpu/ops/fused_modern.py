@@ -100,26 +100,21 @@ def _kernel(
         (g >= 0) & (g < height) & (lane_ids >= half) & (lane_ids < half + width)
     ).astype(jnp.int32)
 
-    # Banded aggregation matrices (ops/fused.py rationale).  int8 MXU
-    # dots (2x bf16 rate) whenever the per-pixel cost bound keeps the
-    # column sums within int8: max cost 7 for SAD digits, census bits
-    # otherwise (``cost_max`` is static).
+    # Banded aggregation matrices (ops/aggregate.make_box_bands).  int8
+    # MXU dots (2x bf16 rate) whenever the per-pixel cost bound keeps
+    # the column sums within int8: max cost 7 for SAD digits, census
+    # bits otherwise (``cost_max`` is static).
+    from stereomatching_tpu.ops.aggregate import apply_box_bands, make_box_bands
+
     use_int8 = cost_max * k <= 127
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
-    ii = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, rows), 1)
-    col_band = ((jj - ii >= y0) & (jj - ii <= y0 + 2 * half)).astype(band_dtype)
-    jj2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 0)
-    xx2 = jax.lax.broadcasted_iota(jnp.int32, (w2h, width), 1)
-    row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 <= 2 * half)).astype(band_dtype)
+    col_band, row_band = make_box_bands(
+        tile_rows, rows, w2h, width, k, y0, band_dtype
+    )
 
     def box(plane_i32):
-        cs = jnp.dot(col_band, plane_i32.astype(band_dtype),
-                     preferred_element_type=acc_dtype)
-        s = jnp.dot(cs.astype(band_dtype), row_band,
-                    preferred_element_type=acc_dtype)
-        return s.astype(jnp.int32)
+        return apply_box_bands(col_band, row_band, plane_i32, acc_dtype)
 
     if sad_split:
         def agg_cost(pc):
@@ -137,12 +132,11 @@ def _kernel(
         if sad_split:
             pcost = jnp.abs(ref - window) * in_frame
         else:
-            # census: Hamming distance via SWAR popcount of the XOR.
-            v = ref ^ window
-            v = v - ((v >> 1) & 0x55555555)
-            v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
-            v = (v + (v >> 4)) & 0x0F0F0F0F
-            pcost = ((v * 0x01010101) >> 24) * in_frame
+            # census: Hamming distance (popcount is pure jnp, usable
+            # in-kernel).
+            from stereomatching_tpu.ops.costvolume import popcount32
+
+            pcost = popcount32(ref ^ window) * in_frame
         c = agg_cost(pcost)
         # was_new is carried as int32 {0,1}: an i1 vector in the loop
         # carry fails Mosaic's scf.for legalization.
@@ -215,6 +209,14 @@ def disparity_pallas(
             raise ValueError(
                 "census bits * window must be <= 255 for bf16-exact "
                 f"aggregation (got {bits} * {params.window})"
+            )
+    else:
+        # SAD digits are <= 7; column sums 7 * window must stay within
+        # bf16's exact-integer range.
+        if 7 * params.window > 255:
+            raise ValueError(
+                "sad requires window <= 36 for bf16-exact aggregation "
+                f"(got {params.window}; use the XLA tier)"
             )
     squeeze = ref.ndim == 2
     if squeeze:

@@ -47,7 +47,10 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # jax raises "distributed.initialize should only be called once."
+        # on re-init; treat any already-initialized wording as the no-op.
+        msg = str(e).lower()
+        if "already" in msg or "once" in msg:
             return
         raise
 

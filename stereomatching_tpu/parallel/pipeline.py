@@ -40,7 +40,7 @@ from stereomatching_tpu.config import (
     GHOST_BRIGHTNESS_FILL,
     StereoParams,
 )
-from stereomatching_tpu.ops.aggregate import box_sum_padded
+from stereomatching_tpu.ops.aggregate import box_sum_padded_auto
 from stereomatching_tpu.ops.edges import find_edges_padded
 from stereomatching_tpu.parallel.halo import with_row_halo
 from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
@@ -131,7 +131,7 @@ def _shard_forward(
             match_ext = (l_ext == r_i).astype(jnp.int32)
             if valid is not None:
                 match_ext = match_ext * valid
-            sums = box_sum_padded(_pad_x(match_ext, half, mode), half)
+            sums = box_sum_padded_auto(_pad_x(match_ext, half, mode), half)
             match = match_ext[:, half : half + hs, :]
             score = jnp.where(match == 1, sums, 0)
             # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
