@@ -111,18 +111,9 @@ def _run_oracle(left, right, params, collect):
 
 
 def _ensure_platform():
-    """Honor JAX_PLATFORMS even when a site hook has pinned the platform
-    via jax.config (config wins over the env var in that case), and
-    enable the persistent compilation cache (TPU compiles through a
-    remote tunnel take minutes; repeated CLI invocations at the same
-    shape should pay once)."""
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        import jax
+    from stereomatching_tpu.utils.platform import ensure_platform
 
-        jax.config.update("jax_platforms", want)
+    ensure_platform()
 
 
 def _run_jax(left, right, params, collect):

@@ -46,6 +46,9 @@ class Matcher:
         self._cache: Dict[Tuple[int, ...], object] = {}
 
     def _build(self, batched: bool):
+        from stereomatching_tpu.utils.platform import ensure_platform
+
+        ensure_platform()
         if self.tier == "sharded":
             from stereomatching_tpu.parallel import build_sharded_pipeline
 
@@ -106,6 +109,9 @@ class ModernMatcher:
     def _fn(self, shape: Tuple[int, ...]):
         if shape not in self._cache:
             from stereomatching_tpu.models.modern import build_modern_pipeline
+            from stereomatching_tpu.utils.platform import ensure_platform
+
+            ensure_platform()
 
             self._cache[shape] = build_modern_pipeline(
                 self.params, batched=len(shape) == 3
