@@ -226,8 +226,8 @@ def _invoke_kernel(
             jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, l_pad.shape[-1]), jnp.int32),
-            pltpu.VMEM((rows, r_pad.shape[-1]), jnp.int32),
+            pltpu.VMEM((rows, l_pad.shape[-1]), l_pad.dtype),
+            pltpu.VMEM((rows, r_pad.shape[-1]), r_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
