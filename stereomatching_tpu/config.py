@@ -136,6 +136,7 @@ class ModernParams:
     aggregation: str = "box"
     sgm_p1: int = 8  # SGM small-change penalty (|dd| == 1)
     sgm_p2: int = 96  # SGM jump penalty (|dd| > 1)
+    median_filter: bool = False  # 3x3 median speckle removal before LR
 
     def __post_init__(self) -> None:
         if self.num_disparities < 2:

@@ -220,6 +220,12 @@ def modern_forward(
     dl = disparity_one_view(left, right, params, "left", use_pallas)
     dr = disparity_one_view(left, right, params, "right", use_pallas)
     batched = left.ndim == 3
+    if params.median_filter:
+        from stereomatching_tpu.ops.costvolume import median3x3
+
+        med = jax.vmap(median3x3) if batched else median3x3
+        dl = dl._replace(disparity=med(dl.disparity), subpixel=med(dl.subpixel))
+        dr = dr._replace(disparity=med(dr.disparity))
     lr = functools.partial(
         lr_consistency,
         max_diff=params.lr_max_diff,

@@ -238,6 +238,34 @@ def lr_consistency(
     return valid
 
 
+# Median-of-9 exchange network (19 comparators); each pair sorts two
+# taps in place.  Vectorizes as pure min/max — no data-dependent control
+# flow, the TPU-friendly form of the classic speckle filter.
+_MEDIAN9_NET = (
+    (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+    (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+    (4, 2), (6, 4), (4, 2),
+)
+
+
+def median3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median filter (edge-replicated borders) — the standard
+    disparity speckle-removal post-filter.  Works on any dtype with
+    min/max; [H, W]."""
+    h, w = x.shape
+    p = jnp.pad(x, 1, mode="edge")
+    taps = [
+        p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    for a, b in _MEDIAN9_NET:
+        lo = jnp.minimum(taps[a], taps[b])
+        hi = jnp.maximum(taps[a], taps[b])
+        taps[a], taps[b] = lo, hi
+    return taps[4]
+
+
 def fill_invalid(
     disparity: jnp.ndarray,
     valid: jnp.ndarray,

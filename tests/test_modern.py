@@ -210,3 +210,36 @@ def test_census_invariant_to_illumination_gain():
     )[:, shift + 8 : -8]
     assert (d_census == shift).mean() > 0.95
     assert (d_census == shift).mean() > (d_sad == shift).mean()
+
+
+def test_median3x3_matches_numpy():
+    from stereomatching_tpu.ops.costvolume import median3x3
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 100, size=(17, 23)).astype(np.int32)
+    got = np.asarray(median3x3(x))
+    p = np.pad(x, 1, mode="edge")
+    for y in range(17):
+        for xx in range(23):
+            assert got[y, xx] == np.median(p[y : y + 3, xx : xx + 3]), (y, xx)
+
+
+def test_median_filter_removes_speckle():
+    from stereomatching_tpu.utils.metrics import bad_pixel_rate
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, size=(40, 80)).astype(np.int32)
+    shift = 4
+    left, right = base, np.roll(base, -shift, axis=1)
+    gt = np.full((40, 80), float(shift))
+    # tiny window -> speckly disparity; median cleans it
+    plain = ModernParams(num_disparities=8, window=3)
+    med = ModernParams(num_disparities=8, window=3, median_filter=True)
+    o1 = build_modern_pipeline(plain)(left, right)
+    o2 = build_modern_pipeline(med)(left, right)
+    v1 = np.array(o1["valid"]); v1[:, : shift + 6] = False
+    v2 = np.array(o2["valid"]); v2[:, : shift + 6] = False
+    r1 = bad_pixel_rate(np.asarray(o1["disparity"]), gt, 1.0, v1)
+    r2 = bad_pixel_rate(np.asarray(o2["disparity"]), gt, 1.0, v2)
+    assert r2 <= r1
+    assert o2["subpixel"].shape == (40, 80)
