@@ -70,6 +70,8 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument("--aggregation", choices=["box", "sgm"], default="box",
                    help="modern pipeline: windowed box sum or 4-path "
                         "Semi-Global Matching")
+    p.add_argument("--median", action="store_true",
+                   help="modern pipeline: 3x3 median speckle filter")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
     p.add_argument("--shifts", type=int, default=None, help="number of disparities")
     p.add_argument("--outdir", default=".", help="artifact output directory")
@@ -205,7 +207,7 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     from stereomatching_tpu.models.modern import build_modern_pipeline
 
     kw = {"scales": args.scales, "cost": args.cost,
-          "aggregation": args.aggregation}
+          "aggregation": args.aggregation, "median_filter": args.median}
     if args.shifts is not None:
         kw["num_disparities"] = args.shifts
     if args.square_width is not None:
