@@ -35,7 +35,7 @@ enum {
 };
 
 // PPM pixel mappings (reference ImageType, src/image.h:15-19).
-enum { IMTYPE_BINARY = 0, IMTYPE_GRAY_INT = 2 };
+enum { IMTYPE_BINARY = 0, IMTYPE_GRAY_FLOAT = 1, IMTYPE_GRAY_INT = 2 };
 
 static const unsigned char PNG_SIG[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
 
@@ -69,7 +69,7 @@ int stereo_png_info(const unsigned char *buf, int64_t len, int32_t *width,
     if (memcmp(buf + 12, "IHDR", 4) != 0) return STEREO_ERR_SIG;
     *width = (int32_t)be32(buf + 16);
     *height = (int32_t)be32(buf + 20);
-    *color_type = buf + 25 ? buf[25] : 0;
+    *color_type = buf[25];
     return STEREO_OK;
 }
 
@@ -215,9 +215,28 @@ int64_t stereo_ppm_size_bound(int32_t w, int32_t h) {
 //   imtype 0 (BINARY):   v = (x == 1) ? 0 : 255        (src/image.c:45)
 //   imtype 2 (GRAY_INT): v = (x-min)*255/(max-min)     (src/image.c:37-47,
 //                        C long arithmetic; range 0 -> all zeros)
+static const char *lut_line(int v, int *len) {
+    // Precomputed "v v v\n" strings for the 256 in-range output values.
+    static char lut[256][16];
+    static int lut_len[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        for (int q = 0; q < 256; q++)
+            lut_len[q] = sprintf(lut[q], "%d %d %d\n", q, q, q);
+        lut_init = true;
+    }
+    *len = lut_len[v];
+    return lut[v];
+}
+
 int stereo_ppm_render(const int64_t *data, int32_t w, int32_t h,
                       int32_t imtype, unsigned char *out, int64_t *out_len) {
     const int64_t n = (int64_t)w * h;
+    // Capacity check BEFORE any write: both mappings produce values in
+    // 0..255, so the true worst case is the stereo_ppm_size_bound bound.
+    if (*out_len < stereo_ppm_size_bound(w, h)) return STEREO_ERR_BOUNDS;
+    if (imtype != IMTYPE_BINARY && imtype != IMTYPE_GRAY_INT)
+        return STEREO_ERR_ARG;
     unsigned char *p = out;
     p += sprintf((char *)p, "P3\n%d %d\n255\n", w, h);
 
@@ -231,31 +250,49 @@ int stereo_ppm_render(const int64_t *data, int32_t w, int32_t h,
     }
     const int64_t rng = mx - mn;
 
-    // Precomputed "v v v\n" strings for all 256 possible output values.
-    static char lut[256][16];
-    static int lut_len[256];
-    static bool lut_init = false;
-    if (!lut_init) {
-        for (int v = 0; v < 256; v++)
-            lut_len[v] = sprintf(lut[v], "%d %d %d\n", v, v, v);
-        lut_init = true;
-    }
-
     for (int64_t i = 0; i < n; i++) {
         int v;
         if (imtype == IMTYPE_BINARY) {
             v = (data[i] == 1) ? 0 : 255;
-        } else if (imtype == IMTYPE_GRAY_INT) {
-            v = rng == 0 ? 0 : (int)((data[i] - mn) * 255 / rng);
         } else {
-            return STEREO_ERR_ARG;
+            v = rng == 0 ? 0 : (int)((data[i] - mn) * 255 / rng);
         }
-        memcpy(p, lut[v], lut_len[v]);
-        p += lut_len[v];
+        int llen;
+        const char *line = lut_line(v, &llen);
+        memcpy(p, line, llen);
+        p += llen;
     }
-    int64_t used = p - out;
-    if (used > *out_len) return STEREO_ERR_BOUNDS;  // bound guaranteed by caller
-    *out_len = used;
+    *out_len = p - out;
+    return STEREO_OK;
+}
+
+// GRAY_FLOAT renderer (reference src/image.c:46): v = (int)(x * 255.0),
+// C truncation toward zero.  Brightness inputs are [0, 1) so v is
+// normally 0..254, but out-of-range values are printed verbatim like
+// the reference's %d would — so capacity is tracked per pixel.
+int stereo_ppm_render_float(const double *data, int32_t w, int32_t h,
+                            unsigned char *out, int64_t *out_len) {
+    const int64_t n = (int64_t)w * h;
+    const int64_t cap = *out_len;
+    if (cap < 32) return STEREO_ERR_BOUNDS;
+    unsigned char *p = out;
+    p += sprintf((char *)p, "P3\n%d %d\n255\n", w, h);
+    for (int64_t i = 0; i < n; i++) {
+        long long v = (long long)(data[i] * 255.0);
+        char tmp[80];
+        int llen;
+        const char *line;
+        if (v >= 0 && v < 256) {
+            line = lut_line((int)v, &llen);
+        } else {
+            llen = sprintf(tmp, "%lld %lld %lld\n", v, v, v);
+            line = tmp;
+        }
+        if ((p - out) + llen > cap) return STEREO_ERR_BOUNDS;
+        memcpy(p, line, llen);
+        p += llen;
+    }
+    *out_len = p - out;
     return STEREO_OK;
 }
 

@@ -204,7 +204,10 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     import jax
 
     from stereomatching_tpu.config import ModernParams
-    from stereomatching_tpu.models.modern import build_modern_pipeline
+    from stereomatching_tpu.models.modern import (
+        build_modern_pipeline,
+        modern_pallas_supported,
+    )
 
     kw = {"scales": args.scales, "cost": args.cost,
           "aggregation": args.aggregation, "median_filter": args.median}
@@ -213,7 +216,21 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     if args.square_width is not None:
         kw["window"] = args.square_width
     params = ModernParams(**kw)
-    fn = build_modern_pipeline(params)
+    supported, why = modern_pallas_supported(params)
+    if args.tier == "pallas":
+        if not supported:
+            raise ValueError(f"--tier pallas: {why}")
+        use_pallas = True
+    elif args.tier == "jax":
+        # The fused kernels are the production path; use them whenever
+        # they cover the config exactly (they are bit-identical to the
+        # XLA scan — tests/test_pallas_modern.py).
+        use_pallas = supported and jax.default_backend() in ("tpu", "axon")
+    else:
+        raise ValueError(
+            f"--tier {args.tier} is not available for --pipeline modern"
+        )
+    fn = build_modern_pipeline(params, use_pallas=use_pallas)
     return jax.device_get(fn(img1.astype(np.int32), img2.astype(np.int32)))
 
 

@@ -118,6 +118,30 @@ def _cost_fn(
     return cost_at
 
 
+def modern_pallas_supported(params: ModernParams):
+    """-> (ok, why): whether the fused VMEM kernels (ops/fused_modern.py)
+    can run this config exactly.  The serving/CLI "auto" tier dispatches
+    on this instead of letting the kernel raise (the kernel's bounds are
+    exactness bounds, see ops/fused_modern.py docstring)."""
+    if params.aggregation == "sgm":
+        return False, "SGM aggregation runs on the XLA tier"
+    if params.scales != 1:
+        return False, "multi-scale fusion (scales=2) runs on the XLA tier"
+    if params.cost == "census":
+        bits = params.census_window**2 - 1
+        if bits * params.window > 255:
+            return False, (
+                f"census bits * window = {bits * params.window} > 255 "
+                "exceeds the bf16-exact aggregation bound"
+            )
+    elif 7 * params.window > 255:
+        return False, (
+            f"sad window {params.window} > 36 exceeds the bf16-exact "
+            "aggregation bound"
+        )
+    return True, ""
+
+
 def disparity_one_view(
     left: jnp.ndarray,
     right: jnp.ndarray,

@@ -93,6 +93,22 @@ class Matcher:
         squeeze = lb.ndim == 2 and self.tier == "sharded"
         if squeeze:
             lb, rb = lb[None], rb[None]
+        if self.tier == "sharded":
+            from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            n_rows = self.mesh.shape[ROWS_AXIS]
+            if lb.shape[0] % n_data:
+                raise ValueError(
+                    f"batch {lb.shape[0]} must divide by the mesh data "
+                    f"axis ({n_data}); pass a padded batch or a data=1 mesh "
+                    "for single pairs"
+                )
+            if lb.shape[1] % n_rows:
+                raise ValueError(
+                    f"height {lb.shape[1]} must divide by the mesh rows "
+                    f"axis ({n_rows})"
+                )
         out = jax.device_get(self._fn(lb.shape)(lb, rb))
         if squeeze:
             out = {k: np.asarray(v)[0] for k, v in out.items()}
@@ -100,11 +116,32 @@ class Matcher:
 
 
 class ModernMatcher:
-    """Shape-cached modern-pipeline (SAD/census) runner."""
+    """Shape-cached modern-pipeline (SAD/census) runner.
 
-    def __init__(self, params: Optional[ModernParams] = None):
+    ``tier`` selects the execution path like ``Matcher``:
+      auto   — the fused Pallas kernels whenever the pipeline config is
+               within their exactness bounds, XLA otherwise (see
+               models/modern.modern_pallas_supported);
+      pallas — force the kernels (raises if the config is out of bounds);
+      xla    — force the pure-XLA scan tier.
+    """
+
+    def __init__(self, params: Optional[ModernParams] = None, tier: str = "auto"):
+        if tier not in ("auto", "xla", "pallas"):
+            raise ValueError(tier)
         self.params = params or ModernParams()
+        self.tier = tier
         self._cache: Dict[Tuple[int, ...], object] = {}
+
+    def _use_pallas(self) -> bool:
+        if self.tier == "xla":
+            return False
+        from stereomatching_tpu.models.modern import modern_pallas_supported
+
+        ok, why = modern_pallas_supported(self.params)
+        if self.tier == "pallas" and not ok:
+            raise ValueError(f"pallas tier unavailable: {why}")
+        return ok
 
     def _fn(self, shape: Tuple[int, ...]):
         if shape not in self._cache:
@@ -114,7 +151,8 @@ class ModernMatcher:
             ensure_platform()
 
             self._cache[shape] = build_modern_pipeline(
-                self.params, batched=len(shape) == 3
+                self.params, batched=len(shape) == 3,
+                use_pallas=self._use_pallas(),
             )
         return self._cache[shape]
 
@@ -125,11 +163,28 @@ class ModernMatcher:
 
         jax.block_until_ready(self._fn(shape)(zeros, zeros))
 
+    @staticmethod
+    def _to_pixels(img: np.ndarray) -> np.ndarray:
+        """0..255 integer pixel planes.  Float inputs must be the same
+        0..255 pixel scale (NOT [0,1) brightness — truncating those to
+        int32 would silently zero the image, so brightness-scale floats
+        are rejected)."""
+        img = np.asarray(img)
+        if np.issubdtype(img.dtype, np.floating):
+            if img.size and float(img.max()) <= 1.0 and float(img.min()) >= 0.0:
+                raise ValueError(
+                    "ModernMatcher takes 0..255 pixel values, not [0,1) "
+                    "brightness floats (multiply by 256 and floor first)"
+                )
+        elif not np.issubdtype(img.dtype, np.integer):
+            raise ValueError(f"unsupported image dtype {img.dtype}")
+        return img.astype(np.int32)
+
     def __call__(self, left: np.ndarray, right: np.ndarray) -> Dict[str, np.ndarray]:
         import jax
 
-        l = np.asarray(left).astype(np.int32)
-        r = np.asarray(right).astype(np.int32)
+        l = self._to_pixels(left)
+        r = self._to_pixels(right)
         if l.shape != r.shape:
             raise ValueError("the two images must have equal width and height")
         out = jax.device_get(self._fn(l.shape)(l, r))

@@ -57,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ]
+            if hasattr(lib, "stereo_ppm_render_float"):
+                lib.stereo_ppm_render_float.argtypes = [
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
             _lib = lib
             return _lib
     return None
@@ -115,10 +122,30 @@ def png_write_gray(pixels: np.ndarray) -> Optional[bytes]:
 
 
 def ppm_render(data: np.ndarray, imtype_name: str) -> Optional[bytes]:
-    """Render the BINARY / GRAY_INT PPM mappings natively; returns None
-    for unsupported mappings or a missing lib (caller falls back)."""
+    """Render the BINARY / GRAY_FLOAT / GRAY_INT PPM mappings natively;
+    returns None for a missing lib or out-of-contract inputs (caller
+    falls back to the Python spec)."""
     lib = _load()
-    if lib is None or imtype_name not in _IMTYPE_CODE:
+    if lib is None:
+        return None
+    if imtype_name == "gray_float":
+        if not hasattr(lib, "stereo_ppm_render_float"):
+            return None
+        arr = np.ascontiguousarray(data, dtype=np.float64)
+        h, w = arr.shape
+        cap = ctypes.c_int64(lib.stereo_ppm_size_bound(w, h))
+        out = np.empty(cap.value, dtype=np.uint8)
+        rc = lib.stereo_ppm_render_float(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), w, h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(cap),
+        )
+        if rc == -5:  # values outside [0, 1): Python handles long digits
+            return None
+        if rc != 0:
+            raise ValueError(f"PPM render failed (code {rc})")
+        return out[: cap.value].tobytes()
+    if imtype_name not in _IMTYPE_CODE:
         return None
     arr = np.ascontiguousarray(data, dtype=np.int64)
     h, w = arr.shape

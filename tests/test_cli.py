@@ -143,6 +143,32 @@ def test_modern_pipeline_cli(pair_paths, tmp_path):
     assert os.path.exists(os.path.join(outdir, "valid.ppm"))
 
 
+def test_modern_cli_pallas_tier(pair_paths, tmp_path):
+    a, b, _, _ = pair_paths
+    out_p = str(tmp_path / "modern_pallas")
+    out_x = str(tmp_path / "modern_xla")
+    base = [a, b, "--pipeline", "modern", "--shifts", "8", "0.15", "5"]
+    assert cli.main(base + ["--tier", "pallas", "--outdir", out_p]) == 0
+    assert cli.main(base + ["--tier", "jax", "--outdir", out_x]) == 0
+    import numpy as np
+
+    with np.load(os.path.join(out_p, "disparity.npz")) as zp, np.load(
+        os.path.join(out_x, "disparity.npz")
+    ) as zx:
+        np.testing.assert_array_equal(zp["disparity"], zx["disparity"])
+        np.testing.assert_array_equal(zp["valid"], zx["valid"])
+
+
+def test_modern_cli_pallas_tier_unsupported(pair_paths, capsys):
+    a, b, _, _ = pair_paths
+    rc = cli.main(
+        [a, b, "--pipeline", "modern", "--tier", "pallas",
+         "--aggregation", "sgm", "--no-writes"]
+    )
+    assert rc == 1
+    assert "XLA tier" in capsys.readouterr().err
+
+
 def test_modern_cli_sgm_census(pair_paths, tmp_path):
     a, b, _, _ = pair_paths
     outdir = str(tmp_path / "sgm")

@@ -133,6 +133,59 @@ def test_modern_matcher():
     assert len(m._cache) == 1
 
 
+def test_modern_matcher_rejects_brightness_floats():
+    m = ModernMatcher(ModernParams(num_disparities=8, window=5))
+    left, right = synthetic_pair(h=16, w=24, seed=5)
+    lb = left.astype(np.float32) / 256.0
+    rb = right.astype(np.float32) / 256.0
+    with pytest.raises(ValueError, match="0..255 pixel values"):
+        m(lb, rb)
+    # Pixel-scale floats are accepted (truncation is well defined).
+    out = m(left.astype(np.float64), right.astype(np.float64))
+    want = m(left, right)
+    np.testing.assert_array_equal(out["disparity"], want["disparity"])
+
+
+def test_modern_matcher_tiers_agree():
+    params = ModernParams(num_disparities=8, window=5)
+    left, right = synthetic_pair(h=24, w=32, seed=6)
+    xla = ModernMatcher(params, tier="xla")(left, right)
+    pal = ModernMatcher(params, tier="pallas")(left, right)
+    auto = ModernMatcher(params, tier="auto")(left, right)
+    np.testing.assert_array_equal(xla["disparity"], pal["disparity"])
+    np.testing.assert_array_equal(xla["disparity"], auto["disparity"])
+    np.testing.assert_array_equal(xla["valid"], pal["valid"])
+
+
+def test_modern_matcher_pallas_tier_rejects_unsupported():
+    with pytest.raises(ValueError, match="XLA tier"):
+        ModernMatcher(
+            ModernParams(num_disparities=8, aggregation="sgm"), tier="pallas"
+        )._use_pallas()
+    # auto falls back silently for the same config.
+    m = ModernMatcher(ModernParams(num_disparities=8, aggregation="sgm"))
+    left, right = synthetic_pair(h=16, w=24, seed=7)
+    out = m(left, right)
+    assert out["disparity"].shape == (16, 24)
+
+
+def test_matcher_sharded_batch_validation():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs CPU mesh")
+    from stereomatching_tpu.parallel import make_mesh
+
+    params = StereoParams(square_width=5, times=2, num_shifts=4,
+                          edge_rule="exact")
+    m = Matcher(params, tier="sharded", mesh=make_mesh(data=2, rows=4))
+    left, right = synthetic_pair(h=32, w=32, seed=8)
+    with pytest.raises(ValueError, match="mesh data"):
+        m(left, right)  # batch 1 on a data=2 mesh
+    with pytest.raises(ValueError, match="mesh rows"):
+        m(np.stack([left] * 2)[:, :30], np.stack([right] * 2)[:, :30])
+
+
 def test_loader_feeds_matcher(dataset_root):
     params = StereoParams(square_width=5, times=2, num_shifts=4, edge_rule="exact")
     m = Matcher(params)

@@ -62,6 +62,45 @@ def test_ppm_render_gray_int_parity(lib):
     assert lib.ppm_render(data, "gray_int") == _python_ppm(data, ImageType.GRAY_INT)
 
 
+def test_ppm_render_gray_float_parity(lib):
+    """GRAY_FLOAT (reference src/image.c:46, trunc(v*255.0)) must match
+    the Python spec byte for byte on in-range brightness planes."""
+    import io
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=(19, 37)).astype(np.float64) / 256.0
+
+    v = (data * 255.0).astype(np.int64)
+    h, w = data.shape
+    buf = io.StringIO()
+    buf.write(f"P3\n{w} {h}\n255\n")
+    buf.write("".join(f"{int(p)} {int(p)} {int(p)}\n" for p in v.ravel()))
+    want = buf.getvalue().encode("ascii")
+    assert lib.ppm_render(data, "gray_float") == want
+
+
+def test_ppm_render_gray_float_out_of_range(lib):
+    """Out-of-range values print verbatim like the Python spec's %d.
+    Small overflows still fit the standard buffer bound; planes that
+    exceed it make the renderer decline (None -> Python fallback)."""
+    import io
+
+    data = np.array([[5000.0, 0.5], [-3.0, 0.25]])
+    v = (data * 255.0).astype(np.int64)
+    buf = io.StringIO()
+    buf.write("P3\n2 2\n255\n")
+    buf.write("".join(f"{int(p)} {int(p)} {int(p)}\n" for p in v.ravel()))
+    assert lib.ppm_render(data, "gray_float") == buf.getvalue().encode()
+
+    huge = np.full((8, 8), 1e13)
+    assert lib.ppm_render(huge, "gray_float") is None
+
+    from stereomatching_tpu.utils.imageio import ppm_bytes
+
+    out = ppm_bytes(huge, ImageType.GRAY_FLOAT)
+    assert out.startswith(b"P3\n8 8\n255\n2550000")
+
+
 def test_ppm_render_constant_plane(lib):
     data = np.full((5, 7), 42, dtype=np.int64)
     assert lib.ppm_render(data, "gray_int") == _python_ppm(data, ImageType.GRAY_INT)
