@@ -21,14 +21,16 @@ def bad_pixel_rate(
     valid: Optional[np.ndarray] = None,
 ) -> float:
     """Fraction of (valid) pixels whose |disparity - truth| > threshold —
-    the standard Middlebury-style bad-pixel metric."""
-    err = np.abs(np.asarray(disparity, np.float64) - np.asarray(ground_truth, np.float64))
+    the standard Middlebury-style bad-pixel metric.  Non-finite ground
+    truth (NaN == unknown, the data/formats.py contract) is excluded."""
+    gt = np.asarray(ground_truth, np.float64)
+    err = np.abs(np.asarray(disparity, np.float64) - gt)
+    mask = np.isfinite(gt)
     if valid is not None:
-        valid = np.asarray(valid, bool)
-        if not valid.any():
-            return 0.0
-        err = err[valid]
-    return float((err > threshold).mean())
+        mask &= np.asarray(valid, bool)
+    if not mask.any():
+        return 0.0
+    return float((err[mask] > threshold).mean())
 
 
 def end_point_error(
@@ -36,14 +38,16 @@ def end_point_error(
     ground_truth: np.ndarray,
     valid: Optional[np.ndarray] = None,
 ) -> float:
-    """Mean absolute disparity error (EPE)."""
-    err = np.abs(np.asarray(disparity, np.float64) - np.asarray(ground_truth, np.float64))
+    """Mean absolute disparity error (EPE); non-finite ground truth is
+    excluded."""
+    gt = np.asarray(ground_truth, np.float64)
+    err = np.abs(np.asarray(disparity, np.float64) - gt)
+    mask = np.isfinite(gt)
     if valid is not None:
-        valid = np.asarray(valid, bool)
-        if not valid.any():
-            return 0.0
-        err = err[valid]
-    return float(err.mean())
+        mask &= np.asarray(valid, bool)
+    if not mask.any():
+        return 0.0
+    return float(err[mask].mean())
 
 
 def disparity_report(

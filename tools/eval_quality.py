@@ -7,11 +7,12 @@ ground-truth disparity map (Middlebury-style bad-1/bad-2/EPE):
     python tools/eval_quality.py left.png right.png gt.npy \
         [--disparities 64] [--window 9] [--scales 1] [--gt-scale 1.0]
 
-``gt`` may be a .npy float/int array or a grayscale PNG whose pixel
-values are disparity * gt-scale (Middlebury convention: scale 0.25 for
-quarter-pixel PNG encodings).  With ``--synthetic N`` instead of file
-arguments, evaluates on the built-in synthetic scene (exact ground
-truth) at max disparity N.
+``gt`` may be a Middlebury .pfm (NaN/inf == unknown), a disparity PNG
+(16-bit KITTI value/256 with 0 invalid, or 8-bit integer-scaled — pass
+``--gt-scale`` 0.25/0.125 for the quarter/eighth-pixel encodings), or a
+.npy float/int array — see stereomatching_tpu/data/formats.py.  With
+``--synthetic N`` instead of file arguments, evaluates on the built-in
+synthetic scene (exact ground truth) at max disparity N.
 """
 
 from __future__ import annotations
@@ -34,7 +35,10 @@ def main() -> int:
     p.add_argument("--disparities", type=int, default=64)
     p.add_argument("--window", type=int, default=9)
     p.add_argument("--scales", type=int, default=1, choices=[1, 2])
-    p.add_argument("--gt-scale", type=float, default=1.0)
+    p.add_argument("--gt-scale", type=float, default=None,
+                   help="disparity = PNG value * scale (default: 1/256 "
+                        "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
+                        ".pfm/.npy)")
     p.add_argument("--synthetic", type=int, default=None, metavar="MAX_D",
                    help="evaluate on the built-in synthetic scene instead")
     args = p.parse_args()
@@ -57,13 +61,11 @@ def main() -> int:
     else:
         if not (args.left and args.right and args.gt):
             p.error("need left right gt (or --synthetic)")
+        from stereomatching_tpu.data.formats import read_ground_truth
+
         left = read_png_gray(args.left)
         right = read_png_gray(args.right)
-        if args.gt.endswith(".npy"):
-            gt = np.load(args.gt).astype(np.float64)
-        else:
-            gt = read_png_gray(args.gt).astype(np.float64)
-        gt = gt * args.gt_scale
+        gt = read_ground_truth(args.gt, scale=args.gt_scale).astype(np.float64)
 
     params = ModernParams(
         num_disparities=args.disparities, window=args.window, scales=args.scales
