@@ -51,6 +51,9 @@ def main() -> None:
     p.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
                    help="route the hot phases through the Pallas kernels "
                         "(--no-pallas for the pure-XLA tier)")
+    p.add_argument("--tile-rows", type=int, default=None,
+                   help="override the kernel's batch-aware auto row tiling "
+                        "(ops/fused._auto_tile_rows)")
     args = p.parse_args()
 
     import os
@@ -59,11 +62,6 @@ def main() -> None:
     # take minutes; cache them across bench invocations.
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    # 192-row tiles leave scoped-VMEM headroom for large batch grids
-    # (auto-selected 256 tips the 16 MB stack at batch 32); measured
-    # 2.84 ms/pair at batch 32 vs 3.17 at batch 16 / tile 256.
-    if args.batch >= 32:
-        os.environ.setdefault("STEREO_TILE_ROWS", "192")
 
     import jax
     import jax.numpy as jnp
@@ -79,7 +77,10 @@ def main() -> None:
     h = w = args.size
 
     def step(left, right):
-        out = classic_forward_batched(left, right, params, use_pallas=args.pallas)
+        out = classic_forward_batched(
+            left, right, params, use_pallas=args.pallas,
+            tile_rows=args.tile_rows,
+        )
         # Small checksum only: forces full computation, avoids shipping
         # result planes through the device tunnel.
         return (

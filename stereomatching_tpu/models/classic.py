@@ -30,17 +30,21 @@ def classic_forward(
     right: jnp.ndarray,
     params: StereoParams,
     use_pallas: bool = False,
+    tile_rows: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on one brightness pair [H, W] -> artifact dict.
     Trace-time params; wrap in jit via ``build_classic_pipeline``.
     ``use_pallas`` routes the fused cost-volume phase through the VMEM
-    Pallas kernel (ops/fused.py) instead of the XLA scan."""
+    Pallas kernel (ops/fused.py) instead of the XLA scan; ``tile_rows``
+    overrides the kernel's batch-aware auto tiling."""
     edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
     edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
     if use_pallas:
         from stereomatching_tpu.ops.fused import match_and_score_pallas
 
-        best, winner = match_and_score_pallas(edges_l, edges_r, params)
+        best, winner = match_and_score_pallas(
+            edges_l, edges_r, params, tile_rows=tile_rows
+        )
         web = _fill_web_holes_auto(winner, params.times)
     else:
         best, winner = match_and_score(edges_l, edges_r, params)
@@ -71,7 +75,10 @@ def _fill_web_holes_auto(winner: jnp.ndarray, times: int) -> jnp.ndarray:
 
 
 def _classic_forward_batched_pallas(
-    left: jnp.ndarray, right: jnp.ndarray, params: StereoParams
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched pipeline routed through the Pallas kernels.  The kernels
     take the batch as a grid dimension (they cannot be vmapped: Mosaic
@@ -84,7 +91,9 @@ def _classic_forward_batched_pallas(
     )
     edges_l = ef(left)
     edges_r = ef(right)
-    best, winner = match_and_score_pallas(edges_l, edges_r, params)
+    best, winner = match_and_score_pallas(
+        edges_l, edges_r, params, tile_rows=tile_rows
+    )
     web = _fill_web_holes_auto(winner, params.times)
     out, min_e, max_e = jax.vmap(lambda wb: draw_contour(wb, params.lines))(web)
     return {
@@ -104,24 +113,34 @@ def classic_forward_batched(
     right: jnp.ndarray,
     params: StereoParams,
     use_pallas: bool = False,
+    tile_rows: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched [B, H, W] pipeline, traceable inside an outer jit."""
     if use_pallas:
-        return _classic_forward_batched_pallas(left, right, params)
+        return _classic_forward_batched_pallas(left, right, params, tile_rows)
     return jax.vmap(functools.partial(classic_forward, params=params))(left, right)
 
 
 def build_classic_pipeline(
-    params: StereoParams, batched: bool = False, use_pallas: bool = False
+    params: StereoParams,
+    batched: bool = False,
+    use_pallas: bool = False,
+    tile_rows: int | None = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Jitted pipeline for fixed params.  With ``batched=True`` the inputs
     carry a leading pairs axis [B, H, W] (the throughput mode of
     BASELINE.md config 4) — per-pair contour min/max via vmap."""
     if batched and use_pallas:
         return jax.jit(
-            functools.partial(_classic_forward_batched_pallas, params=params)
+            functools.partial(
+                _classic_forward_batched_pallas, params=params,
+                tile_rows=tile_rows,
+            )
         )
-    fn = functools.partial(classic_forward, params=params, use_pallas=use_pallas)
+    fn = functools.partial(
+        classic_forward, params=params, use_pallas=use_pallas,
+        tile_rows=tile_rows,
+    )
     if batched:
         fn = jax.vmap(fn)
     return jax.jit(fn)

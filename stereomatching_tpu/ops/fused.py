@@ -235,24 +235,28 @@ def _invoke_kernel(
 
 
 def _auto_tile_rows(
-    w: int, half: int, num_shifts: int, budget_bytes: int = 12 * 2**20
+    w: int,
+    half: int,
+    num_shifts: int,
+    batch: int = 1,
+    budget_bytes: int = 12 * 2**20,
 ) -> int:
-    """Largest tile height (multiple of 8, <= 256) whose working set fits
-    the VMEM budget.  256 measured fastest at 1 MP (better MXU M-dim
-    utilization than 128); shrink for very wide images.  The estimate
-    deliberately undercounts Mosaic's temporaries; empirically 256-row
-    tiles at W=1024, D=64 run up to batch 16 (batch 32 tips the 16 MB
-    scoped-vmem stack — pass an explicit smaller ``tile_rows`` for very
-    large batch grids)."""
+    """Largest tile height (multiple of 8) whose working set fits the
+    VMEM budget, capped by batch-grid pressure.
+
+    256 measured fastest at 1 MP for small grids (better MXU M-dim
+    utilization than 128), but large batch grids raise Mosaic's scoped
+    VMEM high-water mark (output-window double buffering across grid
+    steps): 256-row tiles at W=1024, D=64 abort at batch >= 32 while
+    192-row tiles run the full batch-128 bench (and measured FASTER
+    there — 1.93 ms/pair vs 2.8+ at 256).  So the cap is 256 for small
+    grids, 192 once the batch dimension is >= 32.  Callers needing a
+    specific tiling pass ``tile_rows`` explicitly (plumbed through
+    classic_forward / build_classic_pipeline / bench.py --tile-rows)."""
     pad_half = _round_up(half, 4)
     lw_l = _round_up(w + 2 * half, 128)
     lw_r = _round_up(w + 2 * half + num_shifts, 128)
-    import os
-
-    override = os.environ.get("STEREO_TILE_ROWS")
-    if override:
-        return max(8, _round_up(int(override), 8))
-    tile = 256
+    tile = 192 if batch >= 32 else 256
     while tile > 8:
         rows = tile + 2 * pad_half
         est = (
@@ -300,7 +304,7 @@ def match_and_score_pallas(
     half = params.half
     d = params.num_shifts
     if tile_rows is None:
-        tile_rows = _auto_tile_rows(w, half, d)
+        tile_rows = _auto_tile_rows(w, half, d, batch=bsz)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
     l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
@@ -344,7 +348,7 @@ def match_and_score_pallas_prehalo(
     bsz, rows_in, w = l_halo.shape
     hs = rows_in - 2 * halo
     if tile_rows is None:
-        tile_rows = _auto_tile_rows(w, half, d)
+        tile_rows = _auto_tile_rows(w, half, d, batch=bsz)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(hs, 8)))
     pad_half = _round_up(half, 4)
     hp = _round_up(hs, tile_rows)

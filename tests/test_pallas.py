@@ -103,3 +103,23 @@ def test_batched_pallas_pipeline_matches_xla():
     )
     for k in ("score_best", "web-1", "web-2", "output-0"):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+
+def test_auto_tile_rows_batch_aware():
+    """Large batch grids must cap the row tile at 192: 256-row tiles at
+    the 1 MP bench shape abort with a scoped-VMEM overflow at batch >=
+    32 on real hardware (the round-1 STEREO_TILE_ROWS crutch, now an
+    explicit batch-aware rule + tile_rows argument)."""
+    from stereomatching_tpu.ops.fused import _auto_tile_rows
+
+    assert _auto_tile_rows(1024, 10, 64, batch=1) == 256
+    assert _auto_tile_rows(1024, 10, 64, batch=16) == 256
+    assert _auto_tile_rows(1024, 10, 64, batch=32) == 192
+    assert _auto_tile_rows(1024, 10, 64, batch=128) == 192
+    # Very wide images still shrink below the cap to fit the budget.
+    assert _auto_tile_rows(7680, 10, 64, batch=1) < 256
+    # And the tile_rows override plumbs through the public entry.
+    left = np.zeros((32, 8, 128), np.int32)
+    params = StereoParams(square_width=5, num_shifts=4, edge_rule="exact")
+    best, winner = match_and_score_pallas(left, left, params, tile_rows=8)
+    assert best.shape == (32, 8, 128)

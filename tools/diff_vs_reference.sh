@@ -33,24 +33,32 @@ cd "$WORK"
 "$BUILD/ref-sergh" "$A" "$B" >/dev/null
 
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# The pallas/sharded tiers fuse the per-shift planes away (no --collect);
+# they are diffed on the 6 final artifacts the reference also dumps.
+COLLECT=--collect
+case "$TIER" in pallas|sharded) COLLECT= ;; esac
 python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode wrap \
-    --edge-rule "$EDGE_RULE" --collect --outdir our_ser >/dev/null
+    --edge-rule "$EDGE_RULE" $COLLECT --outdir our_ser >/dev/null
 python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode ghost \
-    --edge-rule "$EDGE_RULE" --collect --outdir our_sergh >/dev/null
+    --edge-rule "$EDGE_RULE" $COLLECT --outdir our_sergh >/dev/null
 
 fail=0
+n=0
 for pair in "ser:our_ser" "sergh:our_sergh"; do
     IFS=: read -r ref ours <<<"$pair"
-    for f in "$ref"/*.ppm; do
+    # With --collect we must match every reference artifact; without,
+    # every artifact we dump must match its reference counterpart.
+    if [ -n "$COLLECT" ]; then src="$ref"; else src="$ours"; fi
+    for f in "$src"/*.ppm; do
         name=$(basename "$f")
-        if ! cmp -s "$f" "$ours/$name"; then
+        if ! cmp -s "$ref/$name" "$ours/$name"; then
             echo "DIFF [$ref] $name"
             fail=1
         fi
+        n=$((n + 1))
     done
 done
-
-n=$(ls ser sergh | grep -c ppm || true)
+[ "$n" -ge 12 ] || { echo "FAILED: only $n artifacts produced" >&2; exit 1; }
 if [ "$fail" -eq 0 ]; then
     echo "OK: all $n artifacts byte-identical (tier=$TIER, edge_rule=$EDGE_RULE)"
 else
