@@ -217,6 +217,29 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
         kw["window"] = args.square_width
     params = ModernParams(**kw)
     supported, why = modern_pallas_supported(params)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if args.tier == "sharded":
+        from stereomatching_tpu.parallel import (
+            build_sharded_modern_pipeline,
+            make_mesh,
+        )
+
+        n = len(jax.devices())
+        h = img1.shape[0]
+        reach = max(params.window // 2
+                    + (params.census_window // 2
+                       if params.cost == "census" else 0), 1)
+        rows = n
+        while rows > 1 and (h % rows != 0 or h // rows < reach):
+            rows -= 1
+        mesh = make_mesh(data=1, rows=rows, devices=jax.devices()[:rows])
+        fn = build_sharded_modern_pipeline(
+            params, mesh, use_pallas=supported and on_tpu
+        )
+        out = jax.device_get(
+            fn(img1.astype(np.int32)[None], img2.astype(np.int32)[None])
+        )
+        return {k: np.asarray(v)[0] for k, v in out.items()}
     if args.tier == "pallas":
         if not supported:
             raise ValueError(f"--tier pallas: {why}")
@@ -225,7 +248,7 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
         # The fused kernels are the production path; use them whenever
         # they cover the config exactly (they are bit-identical to the
         # XLA scan — tests/test_pallas_modern.py).
-        use_pallas = supported and jax.default_backend() in ("tpu", "axon")
+        use_pallas = supported and on_tpu
     else:
         raise ValueError(
             f"--tier {args.tier} is not available for --pipeline modern"

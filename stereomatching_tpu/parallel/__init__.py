@@ -14,6 +14,10 @@ from stereomatching_tpu.parallel.pipeline import (
     build_sharded_pipeline,
     sharded_classic_forward,
 )
+from stereomatching_tpu.parallel.modern import (
+    build_sharded_modern_pipeline,
+    sharded_modern_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +25,6 @@ __all__ = [
     "with_row_halo",
     "build_sharded_pipeline",
     "sharded_classic_forward",
+    "build_sharded_modern_pipeline",
+    "sharded_modern_forward",
 ]

@@ -1,0 +1,333 @@
+"""The modern pipeline (SAD/census + LR + sub-pixel + hole fill) sharded
+over a (data, rows) mesh — the scaled-out tier of models/modern.py.
+
+Same decomposition as the classic sharded tier (parallel/pipeline.py):
+batches shard over "data", image rows over "rows", every y dependency is
+one ppermute halo exchange of exactly its reach (the reference's
+halo-width rule, src/stereo-ghost.c:11-12), and every x dependency (the
+disparity slide, the box window's x reach, LR consistency — which only
+looks along scanlines) stays intra-shard because W is unsharded.
+
+  phase                       y-reach           exchange
+  census transform            census_window//2  fused into the pixel
+  cost box filter             window//2         exchange (reach = sum)
+  LR consistency              0 (x-only)        none
+  median filter (optional)    1 row             once, on 3 planes
+  hole-fill diffusion         1 row             per Jacobi step
+
+Boundary semantics are baked into the exchanged blocks so the per-shard
+compute is position-independent:
+
+  * census reads edge-REPLICATED pixels at the global y boundary
+    (ops/costvolume.census_transform pads mode="edge"), so boundary
+    shards overwrite their outer pixel halo with their edge row;
+  * cost contributions from out-of-global rows are ZERO (the zero-padded
+    aggregation of ops/costvolume._aggregate), realized by zeroing the
+    out-of-global rows of the cost-input blocks AFTER the census
+    transform: SAD |0-0| and census popcount(0^0) vanish identically,
+    so neither the XLA scan nor the Pallas kernel needs a validity mask.
+
+Bit-identical to the single-chip tier for every mesh shape (tests/
+test_sharded_modern.py), in both the XLA and Pallas per-shard routes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stereomatching_tpu.config import ModernParams
+from stereomatching_tpu.ops.costvolume import (
+    _aggregate,
+    _extend_left,
+    _extend_right,
+    argmin_subpixel_scan,
+)
+from stereomatching_tpu.parallel.halo import with_row_halo
+from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
+
+
+def _cost_reach(params: ModernParams) -> int:
+    """y halo needed by the cost phase: box window half plus the census
+    neighborhood half (0 for SAD)."""
+    ch = params.census_window // 2 if params.cost == "census" else 0
+    return params.window // 2 + ch
+
+
+def _prepare_cost_blocks(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    n_rows: int,
+):
+    """Exchange pixel halos and produce the two cost-input blocks
+    [bl, hs + 2*half, W] (census codes or raw intensities) with the
+    global boundary semantics baked in (edge-replicated census inputs,
+    zeroed out-of-global rows).  Runs inside shard_map."""
+    bl, hs, w = left.shape
+    half = params.window // 2
+    ch = params.census_window // 2 if params.cost == "census" else 0
+    reach = half + ch
+    ax = ROWS_AXIS
+
+    if reach == 0:
+        lx, rx = left, right
+    else:
+        lx = with_row_halo(left, reach, ax, n_rows, circular=False)
+        rx = with_row_halo(right, reach, ax, n_rows, circular=False)
+
+    # Global row index of every block row; boundary shards replicate
+    # their edge row into out-of-global halo rows (census edge padding).
+    idx = jax.lax.axis_index(ax)
+    g = idx * hs + jnp.arange(-reach, hs + reach)
+    g_col = g[None, :, None]
+    h_global = n_rows * hs
+    if ch > 0:
+        first = lambda x: x[:, reach : reach + 1, :]  # noqa: E731
+        last = lambda x: x[:, reach + hs - 1 : reach + hs, :]  # noqa: E731
+        lx = jnp.where(g_col < 0, first(lx), lx)
+        lx = jnp.where(g_col >= h_global, last(lx), lx)
+        rx = jnp.where(g_col < 0, first(rx), rx)
+        rx = jnp.where(g_col >= h_global, last(rx), rx)
+
+    if params.cost == "census":
+        from stereomatching_tpu.ops.costvolume import census_transform
+
+        tf = jax.vmap(lambda x: census_transform(x, params.census_window))
+        lx, rx = tf(lx), tf(rx)
+        if ch > 0:  # trim the census-neighborhood margin
+            lx = lx[:, ch : ch + hs + 2 * half, :]
+            rx = rx[:, ch : ch + hs + 2 * half, :]
+            g_col = g_col[:, ch : ch + hs + 2 * half, :]
+
+    # Out-of-global rows contribute zero cost: zero them (both views).
+    in_frame = (g_col >= 0) & (g_col < h_global)
+    lx = jnp.where(in_frame, lx, 0)
+    rx = jnp.where(in_frame, rx, 0)
+    return lx, rx
+
+
+def _disparity_block_xla(
+    ref: jnp.ndarray,
+    oth: jnp.ndarray,
+    params: ModernParams,
+    reference: str,
+    hs: int,
+):
+    """One-view fused disparity scan on one [hs + 2*half, W] cost-input
+    block -> DisparityResult on the [hs, W] core rows (the per-shard
+    form of models/modern._cost_fn + argmin_subpixel_scan)."""
+    from stereomatching_tpu.models.modern import _pixel_cost
+
+    h_blk, w = ref.shape
+    half = params.window // 2
+    d_count = params.num_disparities
+    extend = _extend_left if reference == "left" else _extend_right
+    oth_ext = extend(oth, d_count)
+    pcost = _pixel_cost(params)
+
+    def cost_at(d):
+        offset = (d_count - d) if reference == "left" else d
+        win = jax.lax.dynamic_slice(
+            oth_ext, (jnp.zeros((), d.dtype), offset), (h_blk, w)
+        )
+        agg = _aggregate(pcost(ref, win), half)
+        return jax.lax.slice_in_dim(agg, half, half + hs, axis=0)
+
+    return argmin_subpixel_scan(cost_at, d_count, (hs, w))
+
+
+def _median_sharded(plane: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """3x3 median with a 1-row exchange; global boundary rows replicate
+    (median3x3 pads mode="edge")."""
+    from stereomatching_tpu.ops.costvolume import median3x3
+
+    bl, hs, w = plane.shape
+    ext = with_row_halo(plane, 1, ROWS_AXIS, n_rows, circular=False)
+    idx = jax.lax.axis_index(ROWS_AXIS)
+    top = jnp.where(idx == 0, ext[:, 1:2, :], ext[:, 0:1, :])
+    bot = jnp.where(
+        idx == n_rows - 1, ext[:, hs : hs + 1, :], ext[:, hs + 1 : hs + 2, :]
+    )
+    ext = jnp.concatenate([top, plane, bot], axis=1)
+    # median3x3 pads x edge-replicated (W whole) and y edge-replicated —
+    # the y pad duplicates our halo rows, whose windows are sliced away.
+    out = jax.vmap(median3x3)(ext)
+    return out[:, 1 : 1 + hs, :]
+
+
+def _fill_invalid_sharded(
+    disparity: jnp.ndarray,
+    valid: jnp.ndarray,
+    iterations: int,
+    n_rows: int,
+) -> jnp.ndarray:
+    """ops/costvolume.fill_invalid with a per-step 1-row halo exchange
+    (zero fill at the global boundary == the single-chip zero pad)."""
+    d = disparity.astype(jnp.float32)
+    v = valid.astype(jnp.float32)
+    bl, hs, w = d.shape
+
+    def one(state, _):
+        d, v = state
+        dv = d * v
+        # One exchange per step: stack the two planes, ship one strip.
+        both = jnp.stack([dv, v])  # [2, bl, hs, W]
+        ext = with_row_halo(both, 1, ROWS_AXIS, n_rows, circular=False)
+        dv_e, v_e = ext[0], ext[1]  # [bl, hs+2, W]
+
+        def neigh(x_e, x):
+            return (
+                jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+                + jnp.pad(x[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+                + x_e[:, 2:, :]
+                + x_e[:, :-2, :]
+            )
+
+        num = neigh(dv_e, dv)
+        den = neigh(v_e, v)
+        avg = num / jnp.maximum(den, 1.0)
+        newly = (v == 0) & (den > 0)
+        return (jnp.where(newly, avg, d), jnp.where(newly, 1.0, v)), None
+
+    (d, _), _ = jax.lax.scan(one, (d, v), None, length=iterations)
+    return d
+
+
+def _modern_shard_forward(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    n_rows: int,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Per-shard body.  left/right: [bl, hs, W] int32 pixel blocks."""
+    from stereomatching_tpu.ops.costvolume import lr_consistency
+
+    bl, hs, w = left.shape
+    half = params.window // 2
+    lx, rx = _prepare_cost_blocks(
+        left.astype(jnp.int32), right.astype(jnp.int32), params, n_rows
+    )
+
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_modern import disparity_pallas
+
+        # The kernel runs on the halo block as its "image": halo-row
+        # outputs are sliced off, out-of-global rows are pre-zeroed so
+        # their costs vanish without a kernel-side mask.
+        def one_view(reference):
+            ref, oth = (lx, rx) if reference == "left" else (rx, lx)
+            res = disparity_pallas(ref, oth, params, reference)
+            return res._replace(
+                disparity=res.disparity[:, half : half + hs],
+                subpixel=res.subpixel[:, half : half + hs],
+                cost=res.cost[:, half : half + hs],
+            )
+
+        dl = one_view("left")
+        dr = one_view("right")
+    else:
+        fl = jax.vmap(
+            lambda a, b: _disparity_block_xla(a, b, params, "left", hs)
+        )
+        fr = jax.vmap(
+            lambda a, b: _disparity_block_xla(b, a, params, "right", hs)
+        )
+        dl = fl(lx, rx)
+        dr = fr(lx, rx)
+
+    if params.median_filter:
+        med = functools.partial(_median_sharded, n_rows=n_rows)
+        dl = dl._replace(disparity=med(dl.disparity), subpixel=med(dl.subpixel))
+        dr = dr._replace(disparity=med(dr.disparity))
+
+    valid = jax.vmap(
+        functools.partial(
+            lr_consistency,
+            max_diff=params.lr_max_diff,
+            num_disparities=params.num_disparities,
+        )
+    )(dl.disparity, dr.disparity)
+    filled = _fill_invalid_sharded(
+        dl.subpixel, valid, params.fill_iterations, n_rows
+    )
+    return {
+        "disparity": dl.disparity,
+        "subpixel": dl.subpixel,
+        "disparity_right": dr.disparity,
+        "valid": valid,
+        "filled": filled,
+        "cost": dl.cost,
+    }
+
+
+def sharded_modern_forward(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    mesh: Mesh,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Modern pipeline on a global batch [B, H, W] of int32 pixel planes
+    sharded over ``mesh``.  B must divide by the data axis, H by the
+    rows axis; shard height must cover the cost phase's y reach
+    (window//2 + census_window//2).  Restrictions: box aggregation and
+    scales=1 (SGM's vertical recurrences are global in y; run that
+    configuration on the single-chip tier)."""
+    if params.aggregation != "box":
+        raise ValueError(
+            "sharded modern tier supports box aggregation only (SGM's "
+            "vertical passes are global in y — use the single-chip tier)"
+        )
+    if params.scales != 1:
+        raise ValueError(
+            "sharded modern tier supports scales=1 (the half-resolution "
+            "pyramid does not row-shard evenly)"
+        )
+    n_rows = mesh.shape[ROWS_AXIS]
+    h = left.shape[1]
+    hs = h // n_rows
+    reach = _cost_reach(params)
+    if h % n_rows or hs < max(reach, 1):
+        raise ValueError(
+            f"height {h} must split into >= {max(reach, 1)}-row shards "
+            f"across {n_rows} row shards (halo reach {reach})"
+        )
+    plane = P(DATA_AXIS, ROWS_AXIS, None)
+    out_specs = {
+        "disparity": plane,
+        "subpixel": plane,
+        "disparity_right": plane,
+        "valid": plane,
+        "filled": plane,
+        "cost": plane,
+    }
+    f = functools.partial(
+        _modern_shard_forward,
+        params=params,
+        n_rows=n_rows,
+        use_pallas=use_pallas,
+    )
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(plane, plane),
+        out_specs=out_specs,
+        check_vma=False,
+    )(left, right)
+
+
+def build_sharded_modern_pipeline(
+    params: ModernParams, mesh: Mesh, use_pallas: bool = False
+) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Jitted sharded modern pipeline: global [B, H, W] int32 pixel
+    batches -> the artifact dict of models/modern.modern_forward."""
+    fn = functools.partial(
+        sharded_modern_forward, params=params, mesh=mesh, use_pallas=use_pallas
+    )
+    return jax.jit(fn)

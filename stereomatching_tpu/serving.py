@@ -119,18 +119,28 @@ class ModernMatcher:
     """Shape-cached modern-pipeline (SAD/census) runner.
 
     ``tier`` selects the execution path like ``Matcher``:
-      auto   — the fused Pallas kernels whenever the pipeline config is
-               within their exactness bounds, XLA otherwise (see
-               models/modern.modern_pallas_supported);
-      pallas — force the kernels (raises if the config is out of bounds);
-      xla    — force the pure-XLA scan tier.
+      auto    — the fused Pallas kernels whenever the pipeline config is
+                within their exactness bounds, XLA otherwise (see
+                models/modern.modern_pallas_supported);
+      pallas  — force the kernels (raises if the config is out of bounds);
+      xla     — force the pure-XLA scan tier;
+      sharded — shard_map over ``mesh`` (parallel/modern.py); inputs are
+                treated as global [B, H, W] batches.
     """
 
-    def __init__(self, params: Optional[ModernParams] = None, tier: str = "auto"):
-        if tier not in ("auto", "xla", "pallas"):
+    def __init__(
+        self,
+        params: Optional[ModernParams] = None,
+        tier: str = "auto",
+        mesh=None,
+    ):
+        if tier not in ("auto", "xla", "pallas", "sharded"):
             raise ValueError(tier)
+        if tier == "sharded" and mesh is None:
+            raise ValueError("sharded tier needs a mesh (parallel.make_mesh)")
         self.params = params or ModernParams()
         self.tier = tier
+        self.mesh = mesh
         self._cache: Dict[Tuple[int, ...], object] = {}
 
     def _use_pallas(self) -> bool:
@@ -145,19 +155,38 @@ class ModernMatcher:
 
     def _fn(self, shape: Tuple[int, ...]):
         if shape not in self._cache:
-            from stereomatching_tpu.models.modern import build_modern_pipeline
             from stereomatching_tpu.utils.platform import ensure_platform
 
             ensure_platform()
+            if self.tier == "sharded":
+                from stereomatching_tpu.parallel import (
+                    build_sharded_modern_pipeline,
+                )
 
-            self._cache[shape] = build_modern_pipeline(
-                self.params, batched=len(shape) == 3,
-                use_pallas=self._use_pallas(),
-            )
+                import jax
+
+                use_pallas = (
+                    self._use_pallas()
+                    and jax.default_backend() in ("tpu", "axon")
+                )
+                self._cache[shape] = build_sharded_modern_pipeline(
+                    self.params, self.mesh, use_pallas=use_pallas
+                )
+            else:
+                from stereomatching_tpu.models.modern import (
+                    build_modern_pipeline,
+                )
+
+                self._cache[shape] = build_modern_pipeline(
+                    self.params, batched=len(shape) == 3,
+                    use_pallas=self._use_pallas(),
+                )
         return self._cache[shape]
 
     def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
         shape = (batch, *hw) if batch else hw
+        if self.tier == "sharded" and batch is None:
+            shape = (1, *hw)
         zeros = np.zeros(shape, np.int32)
         import jax
 
@@ -187,5 +216,19 @@ class ModernMatcher:
         r = self._to_pixels(right)
         if l.shape != r.shape:
             raise ValueError("the two images must have equal width and height")
+        squeeze = l.ndim == 2 and self.tier == "sharded"
+        if squeeze:
+            l, r = l[None], r[None]
+        if self.tier == "sharded":
+            from stereomatching_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            if l.shape[0] % n_data:
+                raise ValueError(
+                    f"batch {l.shape[0]} must divide by the mesh data "
+                    f"axis ({n_data})"
+                )
         out = jax.device_get(self._fn(l.shape)(l, r))
+        if squeeze:
+            out = {k: np.asarray(v)[0] for k, v in out.items()}
         return {k: np.asarray(v) for k, v in out.items()}

@@ -169,6 +169,26 @@ def test_modern_cli_pallas_tier_unsupported(pair_paths, capsys):
     assert "XLA tier" in capsys.readouterr().err
 
 
+def test_modern_cli_sharded_tier(pair_paths, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs CPU mesh")
+    a, b, _, _ = pair_paths
+    out_s = str(tmp_path / "modern_sharded")
+    out_x = str(tmp_path / "modern_xla2")
+    base = [a, b, "--pipeline", "modern", "--shifts", "8", "0.15", "5"]
+    assert cli.main(base + ["--tier", "sharded", "--outdir", out_s]) == 0
+    assert cli.main(base + ["--tier", "jax", "--outdir", out_x]) == 0
+    import numpy as np
+
+    with np.load(os.path.join(out_s, "disparity.npz")) as zs, np.load(
+        os.path.join(out_x, "disparity.npz")
+    ) as zx:
+        np.testing.assert_array_equal(zs["disparity"], zx["disparity"])
+        np.testing.assert_array_equal(zs["filled"], zx["filled"])
+
+
 def test_modern_cli_sgm_census(pair_paths, tmp_path):
     a, b, _, _ = pair_paths
     outdir = str(tmp_path / "sgm")

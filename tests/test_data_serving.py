@@ -169,6 +169,23 @@ def test_modern_matcher_pallas_tier_rejects_unsupported():
     assert out["disparity"].shape == (16, 24)
 
 
+def test_modern_matcher_sharded_tier():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs CPU mesh")
+    from stereomatching_tpu.parallel import make_mesh
+
+    params = ModernParams(num_disparities=8, window=5)
+    mesh = make_mesh(data=1, rows=4, devices=jax.devices()[:4])
+    m = ModernMatcher(params, tier="sharded", mesh=mesh)
+    left, right = synthetic_pair(h=32, w=48, seed=9)
+    out = m(left, right)
+    want = ModernMatcher(params, tier="xla")(left, right)
+    np.testing.assert_array_equal(out["disparity"], want["disparity"])
+    np.testing.assert_array_equal(out["filled"], want["filled"])
+
+
 def test_matcher_sharded_batch_validation():
     import jax
 

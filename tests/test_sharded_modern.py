@@ -1,0 +1,104 @@
+"""Modern-pipeline sharded tier vs single-chip — bit-equality on the
+8-device CPU mesh for every mesh shape, both per-shard routes (XLA scan
+and the fused Pallas kernel in interpret mode)."""
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import ModernParams
+from tests.util import synthetic_pair
+
+
+def _mesh(data, rows):
+    import jax
+
+    from stereomatching_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < data * rows:
+        pytest.skip("needs CPU mesh")
+    return make_mesh(data=data, rows=rows,
+                     devices=jax.devices()[: data * rows])
+
+
+def _run_both(params, data, rows, h=48, w=64, use_pallas=False, seed=0):
+    import jax
+
+    from stereomatching_tpu.models.modern import build_modern_pipeline
+    from stereomatching_tpu.parallel import build_sharded_modern_pipeline
+
+    mesh = _mesh(data, rows)
+    lefts, rights = [], []
+    for i in range(data):
+        l, r = synthetic_pair(h=h, w=w, seed=seed + i)
+        lefts.append(l.astype(np.int32))
+        rights.append(r.astype(np.int32))
+    lb, rb = np.stack(lefts), np.stack(rights)
+
+    sharded = jax.device_get(
+        build_sharded_modern_pipeline(params, mesh, use_pallas)(lb, rb)
+    )
+    single = build_modern_pipeline(params, batched=True)
+    want = jax.device_get(single(lb, rb))
+    return sharded, want
+
+
+def _assert_equal(sharded, want):
+    for key in ("disparity", "disparity_right", "valid", "cost"):
+        np.testing.assert_array_equal(sharded[key], want[key], err_msg=key)
+    # Float planes: identical op order -> bitwise equality expected.
+    np.testing.assert_array_equal(sharded["subpixel"], want["subpixel"])
+    np.testing.assert_array_equal(sharded["filled"], want["filled"])
+
+
+@pytest.mark.parametrize("data,rows", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_modern_sad_matches_single(data, rows):
+    params = ModernParams(num_disparities=8, window=5)
+    sharded, want = _run_both(params, data, rows)
+    _assert_equal(sharded, want)
+
+
+@pytest.mark.parametrize("rows", [2, 8])
+def test_sharded_modern_census_matches_single(rows):
+    params = ModernParams(num_disparities=8, window=5, cost="census",
+                          census_window=5)
+    sharded, want = _run_both(params, 1, rows, seed=3)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_median_matches_single():
+    params = ModernParams(num_disparities=8, window=5, median_filter=True)
+    sharded, want = _run_both(params, 2, 4, seed=5)
+    _assert_equal(sharded, want)
+
+
+@pytest.mark.parametrize("cost", ["sad", "census"])
+def test_sharded_modern_pallas_matches_single(cost):
+    params = ModernParams(num_disparities=8, window=5, cost=cost)
+    sharded, want = _run_both(params, 1, 4, use_pallas=True, seed=7)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_window_one():
+    # reach 0 for SAD at window 1: no halo exchange at all.
+    params = ModernParams(num_disparities=8, window=1)
+    sharded, want = _run_both(params, 1, 8, seed=9)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_validation():
+    from stereomatching_tpu.parallel import sharded_modern_forward
+
+    mesh = _mesh(1, 8)
+    lb = np.zeros((1, 48, 64), np.int32)
+    with pytest.raises(ValueError, match="box aggregation"):
+        sharded_modern_forward(
+            lb, lb, ModernParams(num_disparities=8, aggregation="sgm"), mesh
+        )
+    with pytest.raises(ValueError, match="scales=1"):
+        sharded_modern_forward(
+            lb, lb, ModernParams(num_disparities=8, scales=2), mesh
+        )
+    with pytest.raises(ValueError, match="row shards"):
+        sharded_modern_forward(
+            lb[:, :44], lb[:, :44], ModernParams(num_disparities=8), mesh
+        )
