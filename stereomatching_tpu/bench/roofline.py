@@ -1,0 +1,319 @@
+"""Roofline / speed-of-light accounting for the classic pipeline.
+
+SURVEY §5's metrics row specs per-phase "bytes, FLOPs, achieved VMEM BW
+vs speed-of-light"; BASELINE.md:38 demands "cost-volume kernels at
+VMEM-bandwidth speed-of-light per chip".  This module provides
+
+  * analytic per-phase traffic/compute models (bytes to/from HBM, MXU
+    FLOPs, VPU element-ops) derived from the kernel structure,
+  * honest on-device phase timings (distinct inputs per iteration +
+    checksum readback — ``block_until_ready`` on repeated identical
+    dispatches is unreliable through the remote TPU tunnel, see
+    bench.py), and
+  * the roofline verdict per phase: achieved HBM GB/s, MXU utilization,
+    VPU utilization, and the speed-of-light time
+    ``max(bytes/BW_peak, mxu/MXU_peak, vpu/VPU_peak)`` vs measured.
+
+Peak numbers are the public TPU v5e datasheet values (197 bf16 TFLOP/s,
+394 int8 TOP/s, 819 GB/s HBM); the VPU peak is an estimate (8x128 lanes
+x ~4 ALUs x 940 MHz ~= 3.85 Tera-elementops/s) and is the softest
+number here — treat VPU utilization as indicative, the HBM/MXU lines as
+firm.  Override any of them via ``Peaks``.
+
+Usage:  python -m stereomatching_tpu.bench.roofline [--batch 128] ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from stereomatching_tpu.config import StereoParams
+
+
+@dataclasses.dataclass(frozen=True)
+class Peaks:
+    hbm_gbps: float = 819.0
+    mxu_bf16_tflops: float = 197.0
+    mxu_int8_tops: float = 394.0
+    vpu_teraops: float = 3.85
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def classic_phase_models(
+    params: StereoParams, h: int, w: int, tile_rows: int = 192
+) -> Dict[str, Dict[str, float]]:
+    """Per-PAIR traffic/compute models for the batched Pallas pipeline.
+
+    bytes: HBM traffic (reads + writes) the phase must perform.
+    mxu: MXU multiply-add FLOPs (2 * M*N*K per matmul).
+    vpu: element-ops on the VPU (counting each vectorized arithmetic /
+    compare / select / roll over an [r, c] array as r*c ops).
+    """
+    half = params.half
+    d = params.num_shifts
+    k = 2 * half + 1
+    sw2 = k * k
+    del sw2
+    pad_half = _round_up(half, 4)
+    rows = tile_rows + 2 * pad_half
+    hp = _round_up(h, tile_rows)
+    n_tiles = hp // tile_rows
+    lw_l = _round_up(w + 2 * half, 128)
+    lw_r = _round_up(w + 2 * half + d, 128)
+    hw = h * w
+
+    # --- edges: read 2 f32 brightness planes, write 2 int32 edge maps;
+    # 3x3 stencil, ~16 element-ops per pixel per image.
+    edges = dict(bytes=16.0 * hw, mxu=0.0, vpu=2 * 16.0 * hw)
+
+    # --- kernel prep (XLA): pad/gather the edge maps into the aligned
+    # layouts — read 8 B/px, write the padded planes.
+    prep_out = 4.0 * (hp + 2 * pad_half) * (lw_l + lw_r)
+    prep = dict(bytes=8.0 * hw + prep_out, mxu=0.0, vpu=2.0 * hw)
+
+    # --- fused match kernel: DMA the padded planes in, write two int32
+    # result planes; per tile per shift, two banded-ones matmuls
+    # (col [tile, rows] @ [rows, w2h], row [tile, w2h] @ [w2h, w]) plus
+    # the match/score/argmax element work.
+    w2h = w + 2 * half
+    mxu_per_shift = 2.0 * tile_rows * rows * w2h + 2.0 * tile_rows * w2h * w
+    vpu_per_shift = (
+        rows * w2h  # match compare
+        + rows * w2h  # cast to band dtype
+        + 6.0 * tile_rows * w  # score select, >=, where, max
+        + rows * lw_r  # the slide roll
+    )
+    kernel = dict(
+        bytes=prep_out + 8.0 * hp * w,
+        mxu=n_tiles * d * mxu_per_shift,
+        vpu=n_tiles * d * vpu_per_shift,
+    )
+
+    # --- diffusion (fused): 1 read + 1 write of the int32 plane (plus
+    # halo rows); (times-1) Jacobi steps of ~12 element-ops per cell in
+    # VMEM.
+    steps = max(params.times - 1, 0)
+    dt = _round_up(min(256, max(8, h)), 8)
+    diff = dict(
+        bytes=4.0 * (hp + 2 * steps) * w + 4.0 * hw,
+        mxu=0.0,
+        vpu=steps * 12.0 * (dt + 2 * steps) * w * (hp / max(dt, 1)),
+    )
+
+    # --- contour: read web, min/max reduce, write output.
+    contour = dict(bytes=8.0 * hw, mxu=0.0, vpu=6.0 * hw)
+
+    total = {
+        key: edges[key] + prep[key] + kernel[key] + diff[key] + contour[key]
+        for key in ("bytes", "mxu", "vpu")
+    }
+    return {
+        "edges": edges,
+        "kernel_prep": prep,
+        "match_kernel": kernel,
+        "diffusion": diff,
+        "contour": contour,
+        "end_to_end": total,
+    }
+
+
+def _time_checksum(fn, inputs: List, iters: int) -> float:
+    """Seconds per call: jitted ``fn`` mapped over distinct device
+    inputs, checksum readback per iteration."""
+    import time
+
+    import jax
+
+    acc = 0
+    acc += int(jax.device_get(fn(*inputs[0])))  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        acc += int(jax.device_get(fn(*inputs[i])))
+    t1 = time.perf_counter()
+    del acc
+    return (t1 - t0) / iters
+
+
+def verdict(
+    name: str,
+    seconds_per_pair: float,
+    model: Dict[str, float],
+    peaks: Peaks,
+) -> Dict[str, float]:
+    t_hbm = model["bytes"] / (peaks.hbm_gbps * 1e9)
+    # int8 matmuls whenever square_width <= 127 (the kernel's rule).
+    t_mxu = model["mxu"] / (peaks.mxu_int8_tops * 1e12)
+    t_vpu = model["vpu"] / (peaks.vpu_teraops * 1e12)
+    sol = max(t_hbm, t_mxu, t_vpu)
+    return {
+        "phase": name,
+        "ms_per_pair": round(seconds_per_pair * 1e3, 4),
+        "hbm_mb": round(model["bytes"] / 1e6, 2),
+        "mxu_gflop": round(model["mxu"] / 1e9, 2),
+        "vpu_gop": round(model["vpu"] / 1e9, 2),
+        "achieved_gbps": round(model["bytes"] / seconds_per_pair / 1e9, 1),
+        "mxu_util_pct": round(t_mxu / seconds_per_pair * 100, 1),
+        "vpu_util_pct": round(t_vpu / seconds_per_pair * 100, 1),
+        "speed_of_light_ms": round(sol * 1e3, 4),
+        "sol_bound": ("hbm" if sol == t_hbm else "mxu" if sol == t_mxu else "vpu"),
+        "x_from_sol": round(seconds_per_pair / sol, 2) if sol > 0 else 0.0,
+    }
+
+
+def measure(
+    h: int = 1024,
+    w: int = 1024,
+    d: int = 64,
+    batch: int = 128,
+    iters: int = 3,
+    tile_rows: Optional[int] = None,
+    peaks: Peaks = Peaks(),
+    seed: int = 0,
+) -> List[Dict[str, float]]:
+    """Honest per-phase roofline measurement on the current backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.config import BoundaryMode
+    from stereomatching_tpu.models.classic import classic_forward_batched
+    from stereomatching_tpu.ops.contour import draw_contour
+    from stereomatching_tpu.ops.edges import find_edges
+    from stereomatching_tpu.ops.fused import (
+        _auto_tile_rows,
+        _invoke_kernel,
+        _prepare,
+        match_and_score_pallas,
+    )
+    from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
+
+    params = StereoParams(num_shifts=d, mode=BoundaryMode.GHOST, edge_rule="exact")
+    tr = tile_rows or _auto_tile_rows(w, params.half, d, batch=batch)
+    models = classic_phase_models(params, h, w, tile_rows=tr)
+    rng = np.random.default_rng(seed)
+    n = iters + 1
+
+    def batches(maker):
+        return [maker(i) for i in range(n)]
+
+    def bright(_):
+        return (
+            jnp.asarray(rng.integers(0, 256, (batch, h, w)).astype(np.float32) / 256.0),
+            jnp.asarray(rng.integers(0, 256, (batch, h, w)).astype(np.float32) / 256.0),
+        )
+
+    ins = batches(bright)
+    jax.block_until_ready(ins)
+
+    ef = jax.jit(
+        jax.vmap(lambda x: find_edges(x, params.threshold, params.mode, params.edge_rule))
+    )
+    rows: List[Dict[str, float]] = []
+
+    # Phase order is arranged to bound peak HBM footprint (batch 128 at
+    # 1 MP is 0.5 GB per plane batch): inputs are dropped as soon as the
+    # derived planes for the next phase exist.
+    t = _time_checksum(jax.jit(lambda a, b: ef(a).sum() + ef(b).sum()), ins, iters)
+    rows.append(verdict("edges", t / batch, models["edges"], peaks))
+
+    e2e = jax.jit(
+        lambda a, b: sum(
+            v.sum()
+            for key, v in classic_forward_batched(
+                a, b, params, use_pallas=True, tile_rows=tr
+            ).items()
+            if key in ("score_best", "web-2", "output-0", "edges-1")
+        )
+    )
+    t = _time_checksum(e2e, ins, iters)
+    e2e_verdict = verdict("end_to_end", t / batch, models["end_to_end"], peaks)
+
+    edge_ins = [(ef(a), ef(b)) for a, b in ins]
+    jax.block_until_ready(edge_ins)
+    del ins
+
+    pad_half = _round_up(params.half, 4)
+    prep_fn = jax.jit(
+        lambda a, b: sum(
+            x.sum() for x in _prepare(a, b, params, tr, pad_half)[:2]
+        )
+    )
+    t = _time_checksum(prep_fn, edge_ins, iters)
+    rows.append(verdict("kernel_prep", t / batch, models["kernel_prep"], peaks))
+
+    pad_ins = [_prepare(a, b, params, tr, pad_half)[:2] for a, b in edge_ins]
+    jax.block_until_ready(pad_ins)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    kern_fn = jax.jit(
+        lambda lp, rp: sum(
+            x.sum()
+            for x in _invoke_kernel(lp, rp, w, params, tr, pad_half, interp)
+        )
+    )
+    t = _time_checksum(kern_fn, pad_ins, iters)
+    rows.append(verdict("match_kernel", t / batch, models["match_kernel"], peaks))
+    del pad_ins
+
+    ms_fn = jax.jit(lambda a, b: match_and_score_pallas(a, b, params, tile_rows=tr))
+    winner_ins = [(ms_fn(a, b)[1],) for a, b in edge_ins]
+    jax.block_until_ready(winner_ins)
+    del edge_ins
+
+    diff_fn = jax.jit(lambda wn: fill_web_holes_pallas(wn, params.times).sum())
+    t = _time_checksum(diff_fn, winner_ins, iters)
+    rows.append(verdict("diffusion", t / batch, models["diffusion"], peaks))
+
+    web_fn = jax.jit(lambda wn: fill_web_holes_pallas(wn, params.times))
+    web_ins = [(web_fn(wn),) for (wn,) in winner_ins]
+    jax.block_until_ready(web_ins)
+    del winner_ins
+    cont_fn = jax.jit(
+        lambda wb: jax.vmap(lambda x: draw_contour(x, params.lines)[0])(wb).sum()
+    )
+    t = _time_checksum(cont_fn, web_ins, iters)
+    rows.append(verdict("contour", t / batch, models["contour"], peaks))
+
+    rows.append(e2e_verdict)
+    return rows
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--disparities", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--tile-rows", type=int, default=None)
+    p.add_argument("--json", action="store_true", help="one JSON line per phase")
+    args = p.parse_args()
+
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    rows = measure(
+        h=args.size, w=args.size, d=args.disparities, batch=args.batch,
+        iters=args.iters, tile_rows=args.tile_rows,
+    )
+    if args.json:
+        for r in rows:
+            print(json.dumps(r))
+        return
+    cols = ("phase", "ms_per_pair", "hbm_mb", "achieved_gbps", "mxu_util_pct",
+            "vpu_util_pct", "speed_of_light_ms", "sol_bound", "x_from_sol")
+    print("  ".join(f"{c:>17}" for c in cols))
+    for r in rows:
+        print("  ".join(f"{str(r[c]):>17}" for c in cols))
+
+
+if __name__ == "__main__":
+    main()

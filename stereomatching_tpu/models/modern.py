@@ -124,19 +124,14 @@ def modern_pallas_supported(params: ModernParams):
     on this instead of letting the kernel raise (the kernel's bounds are
     exactness bounds, see ops/fused_modern.py docstring)."""
     if params.aggregation == "sgm":
-        return False, "SGM aggregation runs on the XLA tier"
+        # SGM's directional recurrences have their own VMEM kernel
+        # (ops/fused_sgm.py); no further bounds apply.
+        return True, ""
     if params.scales != 1:
         return False, "multi-scale fusion (scales=2) runs on the XLA tier"
-    if params.cost == "census":
-        bits = params.census_window**2 - 1
-        if bits * params.window > 255:
-            return False, (
-                f"census bits * window = {bits * params.window} > 255 "
-                "exceeds the bf16-exact aggregation bound"
-            )
-    elif 7 * params.window > 255:
+    if params.window > 255:
         return False, (
-            f"sad window {params.window} > 36 exceeds the bf16-exact "
+            f"window {params.window} > 255 exceeds the kernel's "
             "aggregation bound"
         )
     return True, ""
@@ -180,11 +175,16 @@ def disparity_one_view(
 
 
 def _sgm_forward(
-    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """SGM path: per-pixel costs (no window), materialized [H, W, D]
     volume, 4-direction semi-global aggregation, volume argmin +
-    sub-pixel, right disparity via the standard volume re-projection."""
+    sub-pixel, right disparity via the standard volume re-projection.
+    ``use_pallas`` routes the directional recurrences through the
+    VMEM-resident kernel (ops/fused_sgm.py) — bit-identical."""
     from stereomatching_tpu.ops.sgm import (
         right_disparity_from_left_volume,
         sgm_aggregate,
@@ -206,7 +206,12 @@ def _sgm_forward(
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
     vol = jnp.moveaxis(vol, 0, -1)  # [H, W, D]
-    agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
+    else:
+        agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     disp, sub, cost = volume_argmin_subpixel(agg)
     dr = right_disparity_from_left_volume(agg)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
@@ -237,10 +242,18 @@ def modern_forward(
     pixels diffused from valid neighbors), cost (int32 at the winner).
     """
     if params.aggregation == "sgm":
-        if use_pallas:
-            raise ValueError("SGM aggregation runs on the XLA tier")
-        fn = functools.partial(_sgm_forward, params=params)
-        return jax.vmap(fn)(left, right) if left.ndim == 3 else fn(left, right)
+        fn = functools.partial(_sgm_forward, params=params, use_pallas=use_pallas)
+        if left.ndim == 3:
+            if use_pallas:
+                # The SGM kernel is not vmappable (ANY-space volume
+                # refs); pairs run sequentially — SGM is compute-bound,
+                # batching adds no MXU utilization to recover.
+                outs = [fn(left[i], right[i]) for i in range(left.shape[0])]
+                return {
+                    key: jnp.stack([o[key] for o in outs]) for key in outs[0]
+                }
+            return jax.vmap(fn)(left, right)
+        return fn(left, right)
     dl = disparity_one_view(left, right, params, "left", use_pallas)
     dr = disparity_one_view(left, right, params, "right", use_pallas)
     batched = left.ndim == 3

@@ -42,6 +42,18 @@ def box_sum_padded(padded: jnp.ndarray, half: int) -> jnp.ndarray:
     )
 
 
+def make_col_band(
+    out_rows: int, in_rows: int, k: int, y0: int = 0, band_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Banded-ones matrix [out_rows, in_rows] summing input rows
+    [i+y0, i+y0+k) into output row i — the MXU form of a k-wide column
+    box sum (the band absorbs the halo offset y0, so kernels need no
+    sublane relayouts)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 1)
+    return ((jj - ii >= y0) & (jj - ii < y0 + k)).astype(band_dtype)
+
+
 def make_box_bands(
     out_rows: int,
     in_rows: int,
@@ -56,9 +68,7 @@ def make_box_bands(
     and ``row_band [in_cols, out_cols]`` sums columns [x, x+k).  Shared
     by the XLA tier and the Pallas kernels (which pass y0 = pad_half -
     half and their dtype choice)."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (out_rows, in_rows), 1)
-    col_band = ((jj - ii >= y0) & (jj - ii < y0 + k)).astype(band_dtype)
+    col_band = make_col_band(out_rows, in_rows, k, y0, band_dtype)
     jj2 = jax.lax.broadcasted_iota(jnp.int32, (in_cols, out_cols), 0)
     xx2 = jax.lax.broadcasted_iota(jnp.int32, (in_cols, out_cols), 1)
     row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(band_dtype)

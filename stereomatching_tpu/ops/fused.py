@@ -55,6 +55,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def lane_box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """In-kernel k-wide forward box sum along lanes:
+    ``out[.., j] = sum_{t=0..k-1} x[.., j+t]`` via a log-tree of lane
+    rotations (``pltpu.roll`` is a full-lattice rotate — cheap, unlike
+    unaligned lane slices, and 32-bit dtypes only).
+
+    Doubling partials P_c cover c consecutive lanes; k's binary
+    decomposition stitches them with one extra roll per set bit.  The
+    rotation wraparound only pollutes output lanes j > lanes - k, so
+    callers must keep their useful outputs within lanes - k + 1 (the
+    kernels' lane widths are >= width + k - 1 by construction).
+    ~2*ceil(log2(k)) rolls+adds, vs the k-wide banded matmul whose
+    operand is ~(lanes/k)x redundant."""
+    lanes = x.shape[-1]
+    if k == 1:
+        return x
+    if k > lanes:
+        raise ValueError(f"window {k} exceeds lane width {lanes}")
+    partials = {1: x}
+    cover = 1
+    p = x
+    while cover * 2 <= k:
+        # Left-rotate by `cover` == right-rotate by lanes - cover.
+        p = p + pltpu.roll(p, lanes - cover, 1)
+        cover *= 2
+        partials[cover] = p
+    out = partials[cover]
+    off = cover
+    rem = k - cover
+    while rem > 0:
+        c = 1 << (rem.bit_length() - 1)
+        out = out + pltpu.roll(partials[c], lanes - off, 1)
+        off += c
+        rem -= c
+    return out
+
+
 def _prepare(
     left_edges: jnp.ndarray,
     right_edges: jnp.ndarray,
@@ -117,6 +154,7 @@ def _kernel(
     half: int,
     pad_half: int,
     num_shifts: int,
+    row_mode: str = "chunked",
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -136,24 +174,77 @@ def _kernel(
 
     l = l_vmem[:]  # [rows, lw_l]
     y0 = pad_half - half  # first row the box filter reaches
-    w2h = width + 2 * half
+    k = 2 * half + 1
+    lanes = l.shape[1]  # lw_l, a multiple of 128 and >= width + k - 1
 
-    # The separable box filter as two banded-ones matmuls — the MXU
-    # (idle in this integer pipeline) does the window aggregation at
-    # ~100x VPU add throughput, and banded matrices absorb all halo
-    # offsets so no unaligned vector relayouts are needed.  int8 x int8
-    # -> int32 runs at twice the bf16 MXU rate and is exact whenever the
-    # int8 INPUTS are in range: matches are {0,1}, column sums are
-    # <= k == square_width, so int8 is used for square_width <= 127
-    # (bf16 fallback is exact to 255 — see git history for the bound).
-    use_int8 = 2 * half + 1 <= 127
+    # The separable box filter.  The COLUMN (sublane) sum is one
+    # banded-ones matmul on the MXU (idle in this integer pipeline; the
+    # band absorbs the halo offset so no sublane relayouts).  The ROW
+    # (lane) sum has three selectable realizations (``row_mode``):
+    #   matmul  — round 1's full [lanes, width] banded matmul; its K
+    #             dimension is ~width wide for a k-wide band (>95%
+    #             zeros at the bench shape).
+    #   chunked — the band matmul block-diagonalized into 128-aligned
+    #             lane chunks: output chunk [x0, x0+C) only needs input
+    #             lanes [x0, x0+C+k-1), so K shrinks from ~width to
+    #             C + k + alignment (~2.7x less MXU work at 1 MP).
+    #   tree    — a log-tree of lane rotations on the VPU
+    #             (lane_box_sum); no MXU work at all, but measured
+    #             SLOWER than the MXU forms at the bench shape (lattice
+    #             rotates are not cheap) — kept for reference.
+    # int8 x int8 -> int32 runs at the doubled MXU rate and is exact
+    # whenever the int8 INPUTS fit: matches are {0,1}; the chunked/
+    # matmul row pass re-enters column sums <= k, so k <= 127 selects
+    # int8 (bf16/f32 is exact to k <= 255 — the entry bound).
+    use_int8 = k <= 127
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
-    from stereomatching_tpu.ops.aggregate import apply_box_bands, make_box_bands
+    from stereomatching_tpu.ops.aggregate import make_col_band
 
-    col_band, row_band = make_box_bands(
-        tile_rows, rows, w2h, width, 2 * half + 1, y0, band_dtype
-    )
+    col_band = make_col_band(tile_rows, rows, k, y0, band_dtype)
+
+    if row_mode == "chunked":
+        # Geometry guard: every chunk's K window must stay within the
+        # lane width; narrow images fall back to the full band.
+        chunk = 256 if width % 256 == 0 else 128
+        kw = _round_up(chunk + k - 1, 128)
+        n_chunks = -(-width // chunk)
+        if (n_chunks - 1) * chunk + kw > lanes:
+            row_mode = "matmul"
+
+    if row_mode == "matmul":
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (lanes, width), 0)
+        xx2 = jax.lax.broadcasted_iota(jnp.int32, (lanes, width), 1)
+        row_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(band_dtype)
+
+        def row_sum(cs):
+            return jnp.matmul(
+                cs.astype(band_dtype), row_band,
+                preferred_element_type=acc_dtype,
+            ).astype(jnp.int32)
+
+    elif row_mode == "chunked":
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 0)
+        xx2 = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 1)
+        chunk_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(band_dtype)
+
+        def row_sum(cs):
+            outs = [
+                jnp.matmul(
+                    cs[:, c * chunk : c * chunk + kw].astype(band_dtype),
+                    chunk_band,
+                    preferred_element_type=acc_dtype,
+                )
+                for c in range(n_chunks)
+            ]
+            return jnp.concatenate(outs, axis=1)[:, :width].astype(jnp.int32)
+
+    elif row_mode == "tree":
+        def row_sum(cs):
+            return lane_box_sum(cs, k)[:, 0:width].astype(jnp.int32)
+
+    else:
+        raise ValueError(row_mode)
 
     def shift_step(d, carry):
         best, winner, r_cur = carry
@@ -162,10 +253,15 @@ def _kernel(
         # step).  The window read stays at offset 0; the extra D lanes
         # on the right absorb the rotation so wraparound never enters
         # the window.
-        match_ext = (l[:, 0:w2h] == r_cur[:, 0:w2h]).astype(jnp.int32)
-        sums = apply_box_bands(col_band, row_band, match_ext, acc_dtype)
-        match = match_ext[pad_half : pad_half + tile_rows, half : half + width]
-        score = jnp.where(match == 1, sums, 0)
+        mi = l == r_cur[:, 0:lanes]  # full width: lanes past width+k-1
+        # never reach an output's window (and roll wraparound in the
+        # tree mode only pollutes x > lanes - k >= width).
+        cs = jnp.matmul(
+            col_band, mi.astype(band_dtype), preferred_element_type=acc_dtype
+        )
+        sums = row_sum(cs)
+        match = mi[pad_half : pad_half + tile_rows, half : half + width]
+        score = jnp.where(match, sums, 0)
         # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
         winner = jnp.where(score >= best, d + 1, winner)
         best = jnp.maximum(best, score)
@@ -191,6 +287,7 @@ def _invoke_kernel(
     tile_rows: int,
     pad_half: int,
     interpret: bool,
+    row_mode: str = "chunked",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Launch the kernel on fully padded inputs
     (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2)."""
@@ -204,6 +301,7 @@ def _invoke_kernel(
         half=params.half,
         pad_half=pad_half,
         num_shifts=params.num_shifts,
+        row_mode=row_mode,
     )
     rows = tile_rows + 2 * pad_half
     return pl.pallas_call(
@@ -276,6 +374,7 @@ def match_and_score_pallas(
     params: StereoParams,
     tile_rows: int | None = None,
     interpret: bool | None = None,
+    row_mode: str = "chunked",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
     the input's shape ([H, W] or batched [B, H, W] — the batch becomes
@@ -309,7 +408,7 @@ def match_and_score_pallas(
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
     l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
     best, winner = _invoke_kernel(
-        l_pad, r_pad, w, params, tile_rows, pad_half, interpret
+        l_pad, r_pad, w, params, tile_rows, pad_half, interpret, row_mode
     )
     best, winner = best[:, :h], winner[:, :h]
     if squeeze:

@@ -3,21 +3,22 @@ argmin, neighbor tracking, and sub-pixel parabola refine.
 
 Same architecture as the classic kernel (ops/fused.py): one invocation
 per row tile, DMA in once, slide the matching view one lane per step
-(static rolls), aggregate windows with banded-ones bf16 matmuls on the
-MXU, keep only the running argmin state — the [D, H, W] volume never
-exists.  HBM traffic: 2 image reads + 3 small plane writes per view.
+(static rolls), aggregate windows with one banded-ones column matmul on
+the MXU plus a lane-rotation log tree on the VPU (ops/fused.
+lane_box_sum), keep only the running argmin state — the [D, H, W]
+volume never exists.  HBM traffic: 2 image reads + 3 small plane writes
+per view.
 
-Exactness of the bf16 matmul aggregation requires every matmul INPUT to
-be an integer <= 256 (bf16's exact-integer range); the f32 accumulator
-is exact far beyond the sums that occur.  Two regimes:
+Exactness: only the column matmul's INPUTS must fit the MXU operand
+dtype (the row sums are integer adds on the accumulator dtype).
 
-* census: per-pixel costs are Hamming distances <= census bits (24), so
-  the column sums (<= bits * window) stay bf16-exact for window <= 9 at
-  5x5 census / window <= 31 at 3x3.  Direct.
-* sad: per-pixel |a-b| <= 255 exceeds the range, so costs are split
-  into base-8 digits (each <= 7; column sums <= 7*window <= 256 up to
-  window 36) aggregated separately and recombined as 64*S2 + 8*S1 + S0
-  in int32 — exact for any pixel values.
+* census: per-pixel costs are Hamming distances <= census bits (24) —
+  int8 operands, int32 accumulation, exact for any window.
+* sad: per-pixel |a-b| <= 255 — bf16 operands (integers <= 256 are
+  bf16-exact), f32 accumulation; window sums <= 255 * window^2 stay
+  below 2^24 for every window <= 255.  (Round 1 split SAD costs into
+  base-8 digits across three int8 matmuls because the row sums
+  re-entered the MXU as inputs; the lane tree removes that bound.)
 
 Out-of-frame semantics match models/modern.py: the matching view is
 edge-replicated in x (host pre-extension); cost contributions from
@@ -87,48 +88,50 @@ def _kernel(
     cp_r.wait()
     cp_o.wait()
 
-    ref = ref_vmem[:][:, 0:w2h]
+    ref = ref_vmem[:]  # full [rows, lanes_ref]
+    lanes_ref = ref.shape[1]
     y0 = pad_half - half
+    del w2h
 
     # Validity mask: cost contributions from out-of-frame reference
     # pixels are zero (rows outside the global image, lanes in the
-    # x halo).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, w2h), 0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, w2h), 1)
+    # x halo and the alignment padding).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes_ref), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes_ref), 1)
     g = i * tile_rows + row_ids - pad_half
     in_frame = (
         (g >= 0) & (g < height) & (lane_ids >= half) & (lane_ids < half + width)
     ).astype(jnp.int32)
 
-    # Banded aggregation matrices (ops/aggregate.make_box_bands).  int8
-    # MXU dots (2x bf16 rate) whenever the per-pixel cost bound keeps
-    # the column sums within int8: max cost 7 for SAD digits, census
-    # bits otherwise (``cost_max`` is static).
-    from stereomatching_tpu.ops.aggregate import apply_box_bands, make_box_bands
+    # Box aggregation: column (sublane) sums as one banded-ones matmul
+    # on the MXU, row (lane) sums as a log-tree of lane rotations on
+    # the VPU (ops/fused.lane_box_sum) — same structure as the classic
+    # kernel.  int8 MXU dots (2x bf16 rate) whenever per-pixel costs
+    # fit int8 (census Hamming distances <= 24); SAD |a-b| <= 255 uses
+    # one bf16 matmul — exact since bf16 holds integers <= 256 and the
+    # f32 tree totals stay <= 255 * window^2 < 2^24 for window <= 255.
+    # (Round 1 needed a base-8 digit split into THREE int8 matmuls here
+    # because the second banded matmul re-entered the MXU with the
+    # column sums as inputs; the lane tree removes that input bound.)
+    from stereomatching_tpu.ops.aggregate import make_col_band
+    from stereomatching_tpu.ops.fused import lane_box_sum
 
-    use_int8 = cost_max * k <= 127
+    use_int8 = cost_max <= 127
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
-    col_band, row_band = make_box_bands(
-        tile_rows, rows, w2h, width, k, y0, band_dtype
-    )
+    col_band = make_col_band(tile_rows, rows, k, y0, band_dtype)
 
-    def box(plane_i32):
-        return apply_box_bands(col_band, row_band, plane_i32, acc_dtype)
-
-    if sad_split:
-        def agg_cost(pc):
-            # base-8 digit split keeps matmul inputs <= 7 (bf16-exact
-            # column sums for any window <= 36).
-            return 64 * box(pc >> 6) + 8 * box((pc >> 3) & 7) + box(pc & 7)
-    else:
-        agg_cost = box
+    def agg_cost(pc):
+        cs = jnp.matmul(
+            col_band, pc.astype(band_dtype), preferred_element_type=acc_dtype
+        )
+        return lane_box_sum(cs, k)[:, 0:width].astype(jnp.int32)
 
     big_plane = jnp.full((tile_rows, width), _BIG, jnp.int32)
 
     def step(d, carry):
         best, best_d, c_left, c_right, c_prev, was_new, o_cur = carry
-        window = o_cur[:, 0:w2h]
+        window = o_cur[:, 0:lanes_ref]
         if sad_split:
             pcost = jnp.abs(ref - window) * in_frame
         else:
@@ -203,21 +206,14 @@ def disparity_pallas(
         interpret = jax.default_backend() not in ("tpu", "axon")
     if params.scales != 1:
         raise ValueError("disparity_pallas supports scales=1 (XLA tier for 2)")
-    if params.cost == "census":
-        bits = params.census_window**2 - 1
-        if bits * params.window > 255:
-            raise ValueError(
-                "census bits * window must be <= 255 for bf16-exact "
-                f"aggregation (got {bits} * {params.window})"
-            )
-    else:
-        # SAD digits are <= 7; column sums 7 * window must stay within
-        # bf16's exact-integer range.
-        if 7 * params.window > 255:
-            raise ValueError(
-                "sad requires window <= 36 for bf16-exact aggregation "
-                f"(got {params.window}; use the XLA tier)"
-            )
+    if params.window > 255:
+        # SAD costs <= 255 aggregate in one bf16 matmul + f32 lane tree,
+        # exact while 255 * window^2 < 2^24; census (int8/int32) has no
+        # bound of its own, but shares the classic kernels' documented
+        # window limit.
+        raise ValueError(
+            f"window must be <= 255 (got {params.window}; use the XLA tier)"
+        )
     squeeze = ref.ndim == 2
     if squeeze:
         ref = ref[None]
@@ -260,7 +256,7 @@ def disparity_pallas(
         num_disp=d,
         slide_from_high=slide_from_high,
         sad_split=params.cost == "sad",
-        cost_max=7 if params.cost == "sad" else params.census_window**2 - 1,
+        cost_max=255 if params.cost == "sad" else params.census_window**2 - 1,
     )
     rows = tile_rows + 2 * pad_half
     n_tiles = hp // tile_rows

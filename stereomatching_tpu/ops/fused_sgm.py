@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: the SGM directional recurrence, VMEM-resident.
+
+The XLA formulation (ops/sgm.py) is a ``lax.scan`` of W sequential steps
+of small [H, D] work — each step is its own dispatched fusion, and at
+1 MP x 64 d the four directions cost ~97 ms/pair on a v5e chip.  Here
+each direction is ONE kernel: the cost volume is laid out scan-major
+[S, D, P] (scan dim leading, disparities on sublanes, the perpendicular
+axis on lanes), the grid walks column strips with Pallas's automatic
+double-buffered HBM->VMEM pipelining, and the carry L[s-1] — a [D, P]
+plane — lives in scratch that persists across grid steps.  Per step:
+
+    m        = min_d' L[s-1]                  (sublane reduction)
+    best     = min(L, min(L_up, L_dn) + P1, m + P2)
+    L[s]     = C[s] + best - m
+
+exactly ops/sgm._directional's step (same _BIG padding, int32), so the
+results are bit-identical (tests/test_sgm.py).  Both scan directions
+come from the same kernel: the reverse pass maps grid step s to strip
+n-1-s and walks the strip backwards.
+
+The vertical directions are the same kernel on the [H, D, W] layout;
+the horizontal ones on [W, D, H] (one XLA transpose of the volume).
+Padding: D pads to the sublane tile with _BIG (never wins a min),
+P to the lane tile (independent scan lanes, sliced away), S to the
+strip size (the kernel re-initializes the carry at the first REAL
+column in processing order, so leading pad columns in a reverse pass
+cannot leak into the result).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 2**28  # matches ops/sgm._BIG
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    vol_ref,  # [xc, Dp, Pp] VMEM block (current strip)
+    out_ref,  # [xc, Dp, Pp] VMEM block
+    carry,  # [Dp, Pp] scratch, persists across grid steps
+    *,
+    xc: int,
+    p1: int,
+    p2: int,
+    reverse: bool,
+    init_step: int,
+):
+    s = pl.program_id(0)
+
+    def step(j, _):
+        c = vol_ref[xc - 1 - j if reverse else j]
+        # Processing-order position; the first REAL column re-inits the
+        # carry (leading pad columns of a reverse pass are skipped by
+        # init_step > 0).
+        pos = s * xc + j
+
+        @pl.when(pos <= init_step)
+        def _():
+            carry[...] = c
+
+        @pl.when(pos > init_step)
+        def _():
+            prev = carry[...]
+            m = jnp.min(prev, axis=0, keepdims=True)
+            up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=_BIG)
+            dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=_BIG)
+            best = jnp.minimum(
+                jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2
+            )
+            carry[...] = c + best - m
+
+        out_ref[xc - 1 - j if reverse else j] = carry[...]
+        return 0
+
+    jax.lax.fori_loop(0, xc, step, 0)
+
+
+def sgm_directional_pallas(
+    vol: jnp.ndarray,
+    p1: int,
+    p2: int,
+    reverse: bool = False,
+    strip: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One directional pass over a scan-major volume [S, D, P] -> L
+    [S, D, P] int32.  ``reverse`` scans from S-1 down to 0."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    s, d, p = vol.shape
+    dp = _round_up(d, 8)
+    pp = _round_up(p, 128)
+    # Strip size: keep in+out double buffers within ~8 MB of VMEM.
+    bytes_per_col = dp * pp * 4
+    xc = max(1, min(strip, (8 << 20) // (4 * bytes_per_col)))
+    sp = _round_up(s, xc)
+    vol_pad = jnp.pad(
+        vol.astype(jnp.int32),
+        ((0, sp - s), (0, dp - d), (0, pp - p)),
+        constant_values=_BIG,
+    )
+    # Re-pad the (S, P) padding with zeros is unnecessary: padded D rows
+    # hold _BIG (never win), padded P lanes and S columns are sliced off.
+    n_strips = sp // xc
+    init_step = sp - s if reverse else 0
+
+    kernel = functools.partial(
+        _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse, init_step=init_step
+    )
+    if reverse:
+        index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
+    else:
+        index_map = lambda i: (i, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sp, dp, pp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((dp, pp), jnp.int32)],
+        interpret=interpret,
+    )(vol_pad)
+    return out[:s, :d, :p]
+
+
+def sgm_aggregate_pallas(
+    vol: jnp.ndarray, p1: int = 8, p2: int = 96, interpret: bool | None = None
+) -> jnp.ndarray:
+    """4-direction SGM aggregation of an int32 cost volume [H, W, D]
+    -> int32 [H, W, D]; bit-identical to ops/sgm.sgm_aggregate."""
+    if p1 < 0 or p2 < p1:
+        raise ValueError("need 0 <= p1 <= p2")
+    vol = vol.astype(jnp.int32)
+    h, w, d = vol.shape
+    vol_v = jnp.transpose(vol, (0, 2, 1))  # [H, D, W]: vertical scans
+    vol_h = jnp.transpose(vol, (1, 2, 0))  # [W, D, H]: horizontal scans
+
+    run = functools.partial(sgm_directional_pallas, p1=p1, p2=p2,
+                            interpret=interpret)
+    lr = run(vol_h) + run(vol_h, reverse=True)  # [W, D, H]
+    tb = run(vol_v) + run(vol_v, reverse=True)  # [H, D, W]
+    return jnp.transpose(lr, (2, 0, 1)) + jnp.transpose(tb, (0, 2, 1))

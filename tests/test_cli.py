@@ -163,7 +163,7 @@ def test_modern_cli_pallas_tier_unsupported(pair_paths, capsys):
     a, b, _, _ = pair_paths
     rc = cli.main(
         [a, b, "--pipeline", "modern", "--tier", "pallas",
-         "--aggregation", "sgm", "--no-writes"]
+         "--scales", "2", "--no-writes"]
     )
     assert rc == 1
     assert "XLA tier" in capsys.readouterr().err

@@ -160,13 +160,22 @@ def test_modern_matcher_tiers_agree():
 def test_modern_matcher_pallas_tier_rejects_unsupported():
     with pytest.raises(ValueError, match="XLA tier"):
         ModernMatcher(
-            ModernParams(num_disparities=8, aggregation="sgm"), tier="pallas"
+            ModernParams(num_disparities=8, scales=2), tier="pallas"
         )._use_pallas()
     # auto falls back silently for the same config.
-    m = ModernMatcher(ModernParams(num_disparities=8, aggregation="sgm"))
+    m = ModernMatcher(ModernParams(num_disparities=8, scales=2))
     left, right = synthetic_pair(h=16, w=24, seed=7)
     out = m(left, right)
     assert out["disparity"].shape == (16, 24)
+
+
+def test_modern_matcher_sgm_pallas_tier():
+    params = ModernParams(num_disparities=8, aggregation="sgm")
+    left, right = synthetic_pair(h=16, w=24, seed=8)
+    got = ModernMatcher(params, tier="pallas")(left, right)
+    want = ModernMatcher(params, tier="xla")(left, right)
+    np.testing.assert_array_equal(got["disparity"], want["disparity"])
+    np.testing.assert_array_equal(got["cost"], want["cost"])
 
 
 def test_modern_matcher_sharded_tier():

@@ -52,10 +52,25 @@ def test_fused_modern_batched_pipeline():
                                np.asarray(want["subpixel"]), atol=1e-5)
 
 
-def test_fused_modern_census_window_limit():
+def test_fused_modern_wide_windows_now_supported():
+    """Round 1's digit-split bounds (census bits*window <= 255, SAD
+    window <= 36) are gone with the lane-tree aggregation; an 11-wide
+    5x5-census window runs the kernel and matches the XLA scan."""
     params = ModernParams(num_disparities=8, window=11, cost="census",
                           census_window=5)
     left, right = synthetic_pair(h=24, w=32, seed=4)
+    got = disparity_one_view(left.astype(np.int32), right.astype(np.int32),
+                             params, "left", use_pallas=True)
+    want = disparity_one_view(left.astype(np.int32), right.astype(np.int32),
+                              params, "left", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got.disparity),
+                                  np.asarray(want.disparity))
+    np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(want.cost))
+
+
+def test_fused_modern_window_limit():
+    params = ModernParams(num_disparities=8, window=257)
+    left, right = synthetic_pair(h=300, w=320, seed=4)
     with pytest.raises(ValueError, match="255"):
         disparity_one_view(left.astype(np.int32), right.astype(np.int32),
                            params, "left", use_pallas=True)
