@@ -79,14 +79,19 @@ def classic_phase_models(
     prep = dict(bytes=8.0 * hw + prep_out, mxu=0.0, vpu=2.0 * hw)
 
     # --- fused match kernel: DMA the padded planes in, write two int32
-    # result planes; per tile per shift, two banded-ones matmuls
-    # (col [tile, rows] @ [rows, w2h], row [tile, w2h] @ [w2h, w]) plus
-    # the match/score/argmax element work.
-    w2h = w + 2 * half
-    mxu_per_shift = 2.0 * tile_rows * rows * w2h + 2.0 * tile_rows * w2h * w
+    # result planes; per tile per shift, the column banded matmul
+    # (col [tile, rows] @ [rows, lw_l]) plus the chunked row pass
+    # (n_chunks matmuls [tile, kw] @ [kw, chunk]) plus the match/score/
+    # argmax element work.
+    chunk = 256 if w % 256 == 0 else 128
+    kw = _round_up(chunk + k - 1, 128)
+    n_chunks = -(-w // chunk)
+    mxu_per_shift = (
+        2.0 * tile_rows * rows * lw_l + n_chunks * 2.0 * tile_rows * kw * chunk
+    )
     vpu_per_shift = (
-        rows * w2h  # match compare
-        + rows * w2h  # cast to band dtype
+        rows * lw_l  # match compare
+        + rows * lw_l  # cast to band dtype
         + 6.0 * tile_rows * w  # score select, >=, where, max
         + rows * lw_r  # the slide roll
     )

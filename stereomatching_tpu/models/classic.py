@@ -35,18 +35,29 @@ def classic_forward(
     """Full pipeline on one brightness pair [H, W] -> artifact dict.
     Trace-time params; wrap in jit via ``build_classic_pipeline``.
     ``use_pallas`` routes the fused cost-volume phase through the VMEM
-    Pallas kernel (ops/fused.py) instead of the XLA scan; ``tile_rows``
+    Pallas kernel (ops/fused.py) instead of the XLA scan — with the
+    "exact" edge rule the edge stencil runs inside the same kernel
+    (brightness in, no edge-map HBM round trips); ``tile_rows``
     overrides the kernel's batch-aware auto tiling."""
-    edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
-    edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
-    if use_pallas:
+    if use_pallas and params.edge_rule == "exact":
+        from stereomatching_tpu.ops.fused import match_score_edges_pallas
+
+        best, winner, edges_l, edges_r = match_score_edges_pallas(
+            left, right, params, tile_rows=tile_rows
+        )
+        web = _fill_web_holes_auto(winner, params.times)
+    elif use_pallas:
         from stereomatching_tpu.ops.fused import match_and_score_pallas
 
+        edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
+        edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
         best, winner = match_and_score_pallas(
             edges_l, edges_r, params, tile_rows=tile_rows
         )
         web = _fill_web_holes_auto(winner, params.times)
     else:
+        edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
+        edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
         best, winner = match_and_score(edges_l, edges_r, params)
         web = fill_web_holes(winner, params.times)
     out, min_e, max_e = draw_contour(web, params.lines)
@@ -84,6 +95,26 @@ def _classic_forward_batched_pallas(
     take the batch as a grid dimension (they cannot be vmapped: Mosaic
     ANY-space inputs are not partitionable by the batcher), so only the
     XLA phases are vmapped."""
+    if params.edge_rule == "exact":
+        from stereomatching_tpu.ops.fused import match_score_edges_pallas
+
+        best, winner, edges_l, edges_r = match_score_edges_pallas(
+            left, right, params, tile_rows=tile_rows
+        )
+        web = _fill_web_holes_auto(winner, params.times)
+        out, min_e, max_e = jax.vmap(
+            lambda wb: draw_contour(wb, params.lines)
+        )(web)
+        return {
+            "edges-1": edges_l,
+            "edges-2": edges_r,
+            "score_best": best,
+            "web-1": winner,
+            "web-2": web,
+            "output-0": out,
+            "min_elevation": min_e,
+            "max_elevation": max_e,
+        }
     from stereomatching_tpu.ops.fused import match_and_score_pallas
 
     ef = jax.vmap(

@@ -92,120 +92,14 @@ def lane_box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return out
 
 
-def _prepare(
-    left_edges: jnp.ndarray,
-    right_edges: jnp.ndarray,
-    params: StereoParams,
-    tile_rows: int,
-    pad_half: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """Pad edge maps so every tile DMA is a tiling-aligned plain slice.
-
-    -> (l_pad [Hp+2p, Lw], r_pad [Hp+2p, Lwr], Hp) where Hp is H rounded
-    up to tile_rows, p = pad_half >= half rounds the sublane halo to
-    DMA alignment, Lw/Lwr are lane widths rounded to 128.  Row y of the
-    image lands at padded row y + p; column x at lane x + half.
-    """
-    h, w = left_edges.shape[-2:]
-    half = params.half
-    d = params.num_shifts
-    hp = _round_up(h, tile_rows)
-    lw_l = _round_up(w + 2 * half, 128)
-    lw_r = _round_up(w + 2 * half + d, 128)
-    mode = params.mode
-    nb = left_edges.ndim - 2  # leading batch dims
-
-    if mode == BoundaryMode.WRAP:
-        # Wrap everywhere: the extra alignment rows/lanes keep wrapping —
-        # they are never read by an output window, values don't matter.
-        ys = jnp.arange(-pad_half, hp + pad_half) % h
-        xs_l = jnp.arange(-half, -half + lw_l) % w
-        xs_r = jnp.arange(-half, -half + lw_r) % w
-        l_pad = left_edges[..., ys, :][..., :, xs_l]
-        r_pad = right_edges[..., ys, :][..., :, xs_r]
-    else:
-        bpad = [(0, 0)] * nb
-        l_pad = jnp.pad(
-            left_edges,
-            bpad + [(pad_half, hp - h + pad_half), (half, lw_l - w - half)],
-            constant_values=_LEFT_SENTINEL,
-        )
-        # Right map: halo rows/left columns never produce matches (the
-        # left sentinel handles that); the right x extension is the
-        # reference's zero-filled edge halo read by x+shift.
-        r_pad = jnp.pad(
-            right_edges,
-            bpad + [(pad_half, hp - h + pad_half), (half, lw_r - w - half)],
-        )
-    return l_pad.astype(jnp.int32), r_pad.astype(jnp.int32), hp
-
-
-def _kernel(
-    l_hbm,
-    r_hbm,
-    best_ref,
-    winner_ref,
-    l_vmem,
-    r_vmem,
-    sems,
-    *,
-    tile_rows: int,
-    width: int,
-    half: int,
-    pad_half: int,
-    num_shifts: int,
-    row_mode: str = "chunked",
-):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    rows = tile_rows + 2 * pad_half
-    k = 2 * half + 1
-
-    cp_l = pltpu.make_async_copy(
-        l_hbm.at[b, pl.ds(i * tile_rows, rows), :], l_vmem, sems.at[0]
-    )
-    cp_r = pltpu.make_async_copy(
-        r_hbm.at[b, pl.ds(i * tile_rows, rows), :], r_vmem, sems.at[1]
-    )
-    cp_l.start()
-    cp_r.start()
-    cp_l.wait()
-    cp_r.wait()
-
-    l = l_vmem[:]  # [rows, lw_l]
-    y0 = pad_half - half  # first row the box filter reaches
-    k = 2 * half + 1
-    lanes = l.shape[1]  # lw_l, a multiple of 128 and >= width + k - 1
-
-    # The separable box filter.  The COLUMN (sublane) sum is one
-    # banded-ones matmul on the MXU (idle in this integer pipeline; the
-    # band absorbs the halo offset so no sublane relayouts).  The ROW
-    # (lane) sum has three selectable realizations (``row_mode``):
-    #   matmul  — round 1's full [lanes, width] banded matmul; its K
-    #             dimension is ~width wide for a k-wide band (>95%
-    #             zeros at the bench shape).
-    #   chunked — the band matmul block-diagonalized into 128-aligned
-    #             lane chunks: output chunk [x0, x0+C) only needs input
-    #             lanes [x0, x0+C+k-1), so K shrinks from ~width to
-    #             C + k + alignment (~2.7x less MXU work at 1 MP).
-    #   tree    — a log-tree of lane rotations on the VPU
-    #             (lane_box_sum); no MXU work at all, but measured
-    #             SLOWER than the MXU forms at the bench shape (lattice
-    #             rotates are not cheap) — kept for reference.
-    # int8 x int8 -> int32 runs at the doubled MXU rate and is exact
-    # whenever the int8 INPUTS fit: matches are {0,1}; the chunked/
-    # matmul row pass re-enters column sums <= k, so k <= 127 selects
-    # int8 (bf16/f32 is exact to k <= 255 — the entry bound).
-    use_int8 = k <= 127
-    band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
-    acc_dtype = jnp.int32 if use_int8 else jnp.float32
-    from stereomatching_tpu.ops.aggregate import make_col_band
-
-    col_band = make_col_band(tile_rows, rows, k, y0, band_dtype)
-
+def make_row_box_sum(width, lanes, k, band_dtype, acc_dtype, row_mode="chunked"):
+    """Factory for the in-kernel row (lane) box sum: fn(cs [.., lanes])
+    -> int32 [.., width] with out[x] = sum_{t<k} cs[x+t].  Three
+    realizations (see _kernel's comment); ``chunked`` measured fastest
+    at the 1 MP bench shape (1.02 vs 1.28 ms/pair full-matmul vs 1.99
+    tree, tools/kernel_probe.py).  Falls back to the full band when the
+    chunk geometry does not fit the lane width."""
     if row_mode == "chunked":
-        # Geometry guard: every chunk's K window must stay within the
-        # lane width; narrow images fall back to the full band.
         chunk = 256 if width % 256 == 0 else 128
         kw = _round_up(chunk + k - 1, 128)
         n_chunks = -(-width // chunk)
@@ -245,6 +139,123 @@ def _kernel(
 
     else:
         raise ValueError(row_mode)
+    return row_sum
+
+
+def _x_tiling(w: int, half: int, d: int, x_tile: int | None):
+    """Choose the lane (x) tiling: -> (n_x, wt, bw_l, bw_r, lw_l, lw_r).
+
+    n_x x-tiles of wt output columns each; every tile's left block spans
+    bw_l lanes (wt + the box halo, 128-rounded) and its right block
+    bw_r (+ the shift slide's D extra lanes); lw_* are the total padded
+    lane widths ((n_x-1)*wt + bw_*).  Single-tile (n_x=1) keeps the
+    whole width in lanes — the fastest layout while it fits VMEM; wider
+    images tile at 1024 columns so row tiles stay tall (docs/ROADMAP
+    round-1 item 3)."""
+    if x_tile is None:
+        x_tile = 1024 if w > 2048 else w
+    wt = min(w, max(128, x_tile))
+    if wt < w and wt % 128:
+        wt = _round_up(wt, 128)
+    n_x = -(-w // wt)
+    bw_l = _round_up(wt + 2 * half, 128)
+    bw_r = _round_up(wt + 2 * half + d, 128)
+    return n_x, wt, bw_l, bw_r, (n_x - 1) * wt + bw_l, (n_x - 1) * wt + bw_r
+
+
+def _prepare(
+    left_edges: jnp.ndarray,
+    right_edges: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int,
+    pad_half: int,
+    lw_l: int | None = None,
+    lw_r: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pad edge maps so every tile DMA is a tiling-aligned plain slice.
+
+    -> (l_pad [Hp+2p, Lw], r_pad [Hp+2p, Lwr], Hp) where Hp is H rounded
+    up to tile_rows, p = pad_half >= half rounds the sublane halo to
+    DMA alignment, Lw/Lwr are lane widths (the x-tiling totals, or the
+    single-tile 128-rounded widths by default).  Row y of the image
+    lands at padded row y + p; column x at lane x + half.
+    """
+    h, w = left_edges.shape[-2:]
+    half = params.half
+    d = params.num_shifts
+    hp = _round_up(h, tile_rows)
+    if lw_l is None:
+        lw_l = _round_up(w + 2 * half, 128)
+    if lw_r is None:
+        lw_r = _round_up(w + 2 * half + d, 128)
+    mode = params.mode
+    nb = left_edges.ndim - 2  # leading batch dims
+
+    if mode == BoundaryMode.WRAP:
+        # Wrap everywhere: the extra alignment rows/lanes keep wrapping —
+        # they are never read by an output window, values don't matter.
+        ys = jnp.arange(-pad_half, hp + pad_half) % h
+        xs_l = jnp.arange(-half, -half + lw_l) % w
+        xs_r = jnp.arange(-half, -half + lw_r) % w
+        l_pad = left_edges[..., ys, :][..., :, xs_l]
+        r_pad = right_edges[..., ys, :][..., :, xs_r]
+    else:
+        bpad = [(0, 0)] * nb
+        l_pad = jnp.pad(
+            left_edges,
+            bpad + [(pad_half, hp - h + pad_half), (half, lw_l - w - half)],
+            constant_values=_LEFT_SENTINEL,
+        )
+        # Right map: halo rows/left columns never produce matches (the
+        # left sentinel handles that); the right x extension is the
+        # reference's zero-filled edge halo read by x+shift.
+        r_pad = jnp.pad(
+            right_edges,
+            bpad + [(pad_half, hp - h + pad_half), (half, lw_r - w - half)],
+        )
+    return l_pad.astype(jnp.int32), r_pad.astype(jnp.int32), hp
+
+
+def _match_loop(
+    l,
+    r0,
+    *,
+    tile_rows: int,
+    width: int,
+    half: int,
+    pad_half: int,
+    num_shifts: int,
+    row_mode: str = "chunked",
+):
+    """The fused shift-match / box-filter / argmax loop on VMEM-resident
+    edge planes ``l`` [rows, lw_l] / ``r0`` [rows, lw_r] (lane x + half
+    == image column x, padded row y + pad_half == image row y).  Shared
+    by the edge-map kernel (_kernel) and the brightness-input kernel
+    (_kernel_from_brightness).  -> (best, winner) [tile_rows, width].
+    """
+    rows = tile_rows + 2 * pad_half
+    del rows
+    y0 = pad_half - half  # first row the box filter reaches
+    k = 2 * half + 1
+    lanes = l.shape[1]  # lw_l, a multiple of 128 and >= width + k - 1
+
+    # The separable box filter.  The COLUMN (sublane) sum is one
+    # banded-ones matmul on the MXU (idle in this integer pipeline; the
+    # band absorbs the halo offset so no sublane relayouts).  The ROW
+    # (lane) sum is make_row_box_sum's selectable pass — "chunked"
+    # (block-diagonal band matmul) measured fastest at 1 MP
+    # (tools/kernel_probe.py: 1.02 vs 1.28 full-band vs 1.99 tree
+    # ms/pair).  int8 x int8 -> int32 runs at the doubled MXU rate and
+    # is exact whenever the int8 INPUTS fit: matches are {0,1}; the
+    # chunked/matmul row pass re-enters column sums <= k, so k <= 127
+    # selects int8 (bf16/f32 is exact to k <= 255 — the entry bound).
+    use_int8 = k <= 127
+    band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if use_int8 else jnp.float32
+    from stereomatching_tpu.ops.aggregate import make_col_band
+
+    col_band = make_col_band(tile_rows, l.shape[0], k, y0, band_dtype)
+    row_sum = make_row_box_sum(width, lanes, k, band_dtype, acc_dtype, row_mode)
 
     def shift_step(d, carry):
         best, winner, r_cur = carry
@@ -272,9 +283,54 @@ def _kernel(
     init = (
         jnp.zeros((tile_rows, width), jnp.int32),
         jnp.zeros((tile_rows, width), jnp.int32),
-        r_vmem[:],
+        r0,
     )
     best, winner, _ = jax.lax.fori_loop(0, num_shifts, shift_step, init)
+    return best, winner
+
+
+def _kernel(
+    l_hbm,
+    r_hbm,
+    best_ref,
+    winner_ref,
+    l_vmem,
+    r_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    width: int,
+    half: int,
+    pad_half: int,
+    num_shifts: int,
+    row_mode: str = "chunked",
+    x_stride: int = 0,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    x0 = j * x_stride  # lane origin of this x-tile in the padded planes
+    rows = tile_rows + 2 * pad_half
+    k = 2 * half + 1
+
+    cp_l = pltpu.make_async_copy(
+        l_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, l_vmem.shape[1])],
+        l_vmem, sems.at[0],
+    )
+    cp_r = pltpu.make_async_copy(
+        r_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, r_vmem.shape[1])],
+        r_vmem, sems.at[1],
+    )
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    best, winner = _match_loop(
+        l_vmem[:], r_vmem[:],
+        tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
+        num_shifts=num_shifts, row_mode=row_mode,
+    )
     best_ref[0] = best
     winner_ref[0] = winner
 
@@ -288,48 +344,62 @@ def _invoke_kernel(
     pad_half: int,
     interpret: bool,
     row_mode: str = "chunked",
+    x_tile: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Launch the kernel on fully padded inputs
-    (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2)."""
+    (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2).
+    The caller's padding must match this w/x_tile geometry
+    (_x_tiling + _prepare)."""
     bsz = l_pad.shape[0]
     hp = l_pad.shape[1] - 2 * pad_half
     n_tiles = hp // tile_rows
+    n_x, wt, bw_l, bw_r, lw_l, lw_r = _x_tiling(
+        w, params.half, params.num_shifts, x_tile
+    )
+    assert l_pad.shape[-1] == lw_l and r_pad.shape[-1] == lw_r, (
+        l_pad.shape, r_pad.shape, lw_l, lw_r)
     kernel = functools.partial(
         _kernel,
         tile_rows=tile_rows,
-        width=w,
+        width=wt,
         half=params.half,
         pad_half=pad_half,
         num_shifts=params.num_shifts,
         row_mode=row_mode,
+        x_stride=wt,
     )
     rows = tile_rows + 2 * pad_half
-    return pl.pallas_call(
+    best, winner = pl.pallas_call(
         kernel,
-        grid=(bsz, n_tiles),
+        grid=(bsz, n_tiles, n_x),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, tile_rows, wt), lambda b, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, tile_rows, wt), lambda b, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, l_pad.shape[-1]), l_pad.dtype),
-            pltpu.VMEM((rows, r_pad.shape[-1]), r_pad.dtype),
+            pltpu.VMEM((rows, bw_l), l_pad.dtype),
+            pltpu.VMEM((rows, bw_r), r_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(l_pad, r_pad)
+    if n_x * wt != w:
+        best, winner = best[..., :w], winner[..., :w]
+    return best, winner
 
 
 def _auto_tile_rows(
@@ -375,6 +445,7 @@ def match_and_score_pallas(
     tile_rows: int | None = None,
     interpret: bool | None = None,
     row_mode: str = "chunked",
+    x_tile: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
     the input's shape ([H, W] or batched [B, H, W] — the batch becomes
@@ -402,13 +473,19 @@ def match_and_score_pallas(
     bsz, h, w = left_edges.shape
     half = params.half
     d = params.num_shifts
+    n_x, wt, _bw_l, _bw_r, lw_l, lw_r = _x_tiling(w, half, d, x_tile)
     if tile_rows is None:
-        tile_rows = _auto_tile_rows(w, half, d, batch=bsz)
+        # Budget row tiles by the x-tile width, not the full image width
+        # — with x tiling, wide images keep tall row tiles.
+        tile_rows = _auto_tile_rows(wt, half, d, batch=bsz)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     pad_half = _round_up(half, 4)  # DMA sublane alignment (2*pad_half % 8 == 0)
-    l_pad, r_pad, _hp = _prepare(left_edges, right_edges, params, tile_rows, pad_half)
+    l_pad, r_pad, _hp = _prepare(
+        left_edges, right_edges, params, tile_rows, pad_half, lw_l, lw_r
+    )
     best, winner = _invoke_kernel(
-        l_pad, r_pad, w, params, tile_rows, pad_half, interpret, row_mode
+        l_pad, r_pad, w, params, tile_rows, pad_half, interpret, row_mode,
+        x_tile,
     )
     best, winner = best[:, :h], winner[:, :h]
     if squeeze:
@@ -446,13 +523,12 @@ def match_and_score_pallas_prehalo(
         raise ValueError(f"halo {halo} < square_width//2 {half}")
     bsz, rows_in, w = l_halo.shape
     hs = rows_in - 2 * halo
+    n_x, wt, _bw_l, _bw_r, lw_l, lw_r = _x_tiling(w, half, d, None)
     if tile_rows is None:
-        tile_rows = _auto_tile_rows(w, half, d, batch=bsz)
+        tile_rows = _auto_tile_rows(wt, half, d, batch=bsz)
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(hs, 8)))
     pad_half = _round_up(half, 4)
     hp = _round_up(hs, tile_rows)
-    lw_l = _round_up(w + 2 * half, 128)
-    lw_r = _round_up(w + 2 * half + d, 128)
 
     # Trim/grow the y-halo to exactly pad_half rows per side, then grow
     # the bottom to the hp rounding.  Fill rows never reach an interior
@@ -477,6 +553,7 @@ def match_and_score_pallas_prehalo(
         r_x = jnp.pad(
             r_mid, ((0, 0), (0, 0), (half, lw_r - (w + d) - half))
         )
+    del n_x
     l_pad = jnp.pad(
         l_x, ((0, 0), (grow, grow + hp - hs), (0, 0)),
         constant_values=_LEFT_SENTINEL,
@@ -488,3 +565,273 @@ def match_and_score_pallas_prehalo(
         w, params, tile_rows, pad_half, interpret,
     )
     return best[:, :hs], winner[:, :hs]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused variant: edges computed in-VMEM from brightness (the
+# single-kernel classic pipeline, docs/ROADMAP round-1 item 4).  Removes
+# the separate XLA edges pass and its 4 HBM plane round-trips; only the
+# bit-deterministic "exact" edge rule is supported in-kernel (the
+# "reference" float rule keeps the two-pass path).
+
+
+def _edges_exact_tile(kk: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """The 'exact' edge rule (ops/edges._find_edges_padded_exact) on a
+    VMEM-resident integer brightness tile ``kk`` [rows, lanes]
+    (k = round(brightness * 256)).  Neighbor taps are full-lattice
+    rolls, so the first/last row and lane hold wrapped garbage — the
+    caller's padding margins (pad >= half+1 rows, lane widths >= used
+    region + 2) keep them out of every consumer's reach.
+    -> int32 {0,1} [rows, lanes]."""
+    from stereomatching_tpu.ops.edges import EDGE_OPERATORS
+
+    rows, lanes = kk.shape
+    roll_y = {
+        -1: lambda x: pltpu.roll(x, 1, 0),
+        0: lambda x: x,
+        1: lambda x: pltpu.roll(x, rows - 1, 0),
+    }
+    roll_x = {
+        -1: lambda x: pltpu.roll(x, 1, 1),
+        0: lambda x: x,
+        1: lambda x: pltpu.roll(x, lanes - 1, 1),
+    }
+    taps = {}
+    for dy in (-1, 0, 1):
+        base = roll_y[dy](kk)
+        for dx in (-1, 0, 1):
+            taps[(dx, dy)] = roll_x[dx](base)
+
+    t32 = jnp.float32(threshold)
+    edges = jnp.zeros((rows, lanes), jnp.int32)
+    for (a0, a1, a2), (b0, b1, b2) in EDGE_OPERATORS:
+        ka = taps[a0] + taps[a1] + taps[a2]
+        kb = taps[b0] + taps[b1] + taps[b2]
+        lhs = (2 * jnp.abs(ka - kb)).astype(jnp.float32)
+        rhs = jnp.minimum(t32 * (ka + kb).astype(jnp.float32),
+                          jnp.float32(1536.0))
+        edges = edges | (lhs > rhs).astype(jnp.int32)
+    return edges
+
+
+def _kernel_from_brightness(
+    kl_hbm,
+    kr_hbm,
+    best_ref,
+    winner_ref,
+    el_ref,
+    er_ref,
+    l_vmem,
+    r_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    width: int,
+    half: int,
+    pad_half: int,
+    num_shifts: int,
+    row_mode: str,
+    x_stride: int,
+    threshold: float,
+    height: int,
+    img_width: int,
+    ghost: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    x0 = j * x_stride
+    rows = tile_rows + 2 * pad_half
+
+    cp_l = pltpu.make_async_copy(
+        kl_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, l_vmem.shape[1])],
+        l_vmem, sems.at[0],
+    )
+    cp_r = pltpu.make_async_copy(
+        kr_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, r_vmem.shape[1])],
+        r_vmem, sems.at[1],
+    )
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    # Lane j holds image column x0 + j - half - 1; padded row r holds
+    # image row i*tile_rows + r - pad_half.
+    el_full = _edges_exact_tile(l_vmem[:], threshold)
+    er_full = _edges_exact_tile(r_vmem[:], threshold)
+
+    if ghost:
+        # Ghost boundary semantics at the EDGE level (matching _prepare):
+        # out-of-image left cells carry the never-matching sentinel,
+        # right cells the reference's zero edge fill
+        # (src/stereo-ghost.c:93-97, 119-121).
+        def mask(e_full, fill):
+            r_, l_ = e_full.shape
+            g = i * tile_rows + jax.lax.broadcasted_iota(
+                jnp.int32, (r_, l_), 0
+            ) - pad_half
+            c = x0 + jax.lax.broadcasted_iota(jnp.int32, (r_, l_), 1) - half - 1
+            ok = (g >= 0) & (g < height) & (c >= 0) & (c < img_width)
+            return jnp.where(ok, e_full, fill)
+
+        el_full = mask(el_full, _LEFT_SENTINEL)
+        er_full = mask(er_full, 0)
+
+    # Re-align lanes to the match-loop layout (lane j == column j-half):
+    # one left-rotation; the garbage entering at the top lane is beyond
+    # every consumer's reach (lane widths have 2 spare lanes).
+    el = pltpu.roll(el_full, el_full.shape[1] - 1, 1)
+    er = pltpu.roll(er_full, er_full.shape[1] - 1, 1)
+
+    best, winner = _match_loop(
+        el, er,
+        tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
+        num_shifts=num_shifts, row_mode=row_mode,
+    )
+    best_ref[0] = best
+    winner_ref[0] = winner
+    el_ref[0] = el[pad_half : pad_half + tile_rows, half : half + width]
+    er_ref[0] = er[pad_half : pad_half + tile_rows, half : half + width]
+
+
+def _prepare_k(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int,
+    pad_half: int,
+    lw_l: int,
+    lw_r: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pad integer brightness planes (k = round(b*256)) for the fused-
+    edges kernel: row y at padded row y + pad_half, column x at lane
+    x + half + 1 (one extra lane per side for the edge stencil).  Wrap
+    mode wraps; ghost mode fills with the reference's 128.0 halo
+    brightness == k 32768 (src/stereo-ghost.c:384-385)."""
+    h, w = left.shape[-2:]
+    half = params.half
+    hp = _round_up(h, tile_rows)
+    nb = left.ndim - 2
+    kl = jnp.round(left * jnp.asarray(256.0, left.dtype)).astype(jnp.int32)
+    kr = jnp.round(right * jnp.asarray(256.0, right.dtype)).astype(jnp.int32)
+    if params.mode == BoundaryMode.WRAP:
+        ys = jnp.arange(-pad_half, hp + pad_half) % h
+        xs_l = jnp.arange(-half - 1, -half - 1 + lw_l) % w
+        xs_r = jnp.arange(-half - 1, -half - 1 + lw_r) % w
+        l_pad = kl[..., ys, :][..., :, xs_l]
+        r_pad = kr[..., ys, :][..., :, xs_r]
+    else:
+        fill = 128 * 256  # round(GHOST_BRIGHTNESS_FILL * 256)
+        bpad = [(0, 0)] * nb
+        l_pad = jnp.pad(
+            kl,
+            bpad + [(pad_half, hp - h + pad_half),
+                    (half + 1, lw_l - w - half - 1)],
+            constant_values=fill,
+        )
+        r_pad = jnp.pad(
+            kr,
+            bpad + [(pad_half, hp - h + pad_half),
+                    (half + 1, lw_r - w - half - 1)],
+            constant_values=fill,
+        )
+    return l_pad, r_pad, hp
+
+
+def match_score_edges_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: StereoParams,
+    tile_rows: int | None = None,
+    interpret: bool | None = None,
+    row_mode: str = "chunked",
+    x_tile: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-kernel classic phases 1-2: brightness in, (best_scores,
+    winning_shifts, edges_l, edges_r) out — the edge stencil runs
+    in-VMEM on the brightness tile (compound halo half+1), so the edge
+    maps never round-trip HBM between phases.  Requires
+    edge_rule="exact" (the bit-deterministic integer rule; the
+    "reference" float rule keeps the two-pass path).  [H, W] or
+    [B, H, W] brightness in [0, 1)."""
+    if params.edge_rule != "exact":
+        raise ValueError(
+            "match_score_edges_pallas requires edge_rule='exact'"
+        )
+    if params.square_width > 255:
+        raise ValueError(
+            "match_score_edges_pallas requires square_width <= 255 "
+            "(use the XLA tier for larger windows)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    squeeze = left.ndim == 2
+    if squeeze:
+        left, right = left[None], right[None]
+    bsz, h, w = left.shape
+    half = params.half
+    d = params.num_shifts
+
+    # Lane geometry: the edge stencil needs one extra lane per side on
+    # top of the match loop's box/slide reach.
+    if x_tile is None:
+        x_tile = 1024 if w > 2048 else w
+    wt = min(w, max(128, x_tile))
+    if wt < w and wt % 128:
+        wt = _round_up(wt, 128)
+    n_x = -(-w // wt)
+    bw_l = _round_up(wt + 2 * half + 2, 128)
+    bw_r = _round_up(wt + 2 * half + d + 2, 128)
+    lw_l = (n_x - 1) * wt + bw_l
+    lw_r = (n_x - 1) * wt + bw_r
+
+    if tile_rows is None:
+        tile_rows = _auto_tile_rows(wt, half, d, batch=bsz)
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    pad_half = _round_up(half + 1, 4)  # edge stencil adds 1 row of reach
+    l_pad, r_pad, hp = _prepare_k(
+        left, right, params, tile_rows, pad_half, lw_l, lw_r
+    )
+    n_tiles = hp // tile_rows
+    kernel = functools.partial(
+        _kernel_from_brightness,
+        tile_rows=tile_rows,
+        width=wt,
+        half=half,
+        pad_half=pad_half,
+        num_shifts=d,
+        row_mode=row_mode,
+        x_stride=wt,
+        threshold=float(params.threshold),
+        height=h,
+        img_width=w,
+        ghost=params.mode == BoundaryMode.GHOST,
+    )
+    rows = tile_rows + 2 * pad_half
+    out_spec = pl.BlockSpec(
+        (1, tile_rows, wt), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles, n_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32)
+        ] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((rows, bw_l), jnp.int32),
+            pltpu.VMEM((rows, bw_r), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(l_pad, r_pad)
+    outs = [o[:, :h, :w] for o in outs]
+    if squeeze:
+        outs = [o[0] for o in outs]
+    best, winner, edges_l, edges_r = outs
+    return best, winner, edges_l, edges_r

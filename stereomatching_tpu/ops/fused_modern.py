@@ -4,10 +4,9 @@ argmin, neighbor tracking, and sub-pixel parabola refine.
 Same architecture as the classic kernel (ops/fused.py): one invocation
 per row tile, DMA in once, slide the matching view one lane per step
 (static rolls), aggregate windows with one banded-ones column matmul on
-the MXU plus a lane-rotation log tree on the VPU (ops/fused.
-lane_box_sum), keep only the running argmin state — the [D, H, W]
-volume never exists.  HBM traffic: 2 image reads + 3 small plane writes
-per view.
+the MXU plus the chunked row box sum (ops/fused.make_row_box_sum), keep
+only the running argmin state — the [D, H, W] volume never exists.
+HBM traffic: 2 image reads + 3 small plane writes per view.
 
 Exactness: only the column matmul's INPUTS must fit the MXU operand
 dtype (the row sums are integer adds on the accumulator dtype).
@@ -104,28 +103,44 @@ def _kernel(
     ).astype(jnp.int32)
 
     # Box aggregation: column (sublane) sums as one banded-ones matmul
-    # on the MXU, row (lane) sums as a log-tree of lane rotations on
-    # the VPU (ops/fused.lane_box_sum) — same structure as the classic
-    # kernel.  int8 MXU dots (2x bf16 rate) whenever per-pixel costs
-    # fit int8 (census Hamming distances <= 24); SAD |a-b| <= 255 uses
-    # one bf16 matmul — exact since bf16 holds integers <= 256 and the
-    # f32 tree totals stay <= 255 * window^2 < 2^24 for window <= 255.
-    # (Round 1 needed a base-8 digit split into THREE int8 matmuls here
-    # because the second banded matmul re-entered the MXU with the
-    # column sums as inputs; the lane tree removes that input bound.)
+    # on the MXU, row (lane) sums via ops/fused.make_row_box_sum — the
+    # same structure (and same measured-fastest "chunked" block-
+    # diagonal band) as the classic kernel.  int8 MXU dots (2x bf16
+    # rate) whenever per-pixel costs fit int8 (census Hamming distances
+    # <= 24); SAD |a-b| <= 255 uses bf16 — exact since bf16 holds
+    # integers <= 256 and the f32 row sums stay <= 255 * window^2
+    # < 2^24 for window <= 255.  (Round 1 split costs into base-8
+    # digits across THREE full-band matmul pairs; now at most one hi/lo
+    # split of the much cheaper row pass is needed — see below.)
     from stereomatching_tpu.ops.aggregate import make_col_band
-    from stereomatching_tpu.ops.fused import lane_box_sum
+    from stereomatching_tpu.ops.fused import make_row_box_sum
 
     use_int8 = cost_max <= 127
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
     col_band = make_col_band(tile_rows, rows, k, y0, band_dtype)
+    base_row = make_row_box_sum(width, lanes_ref, k, band_dtype, acc_dtype)
+    # The row pass feeds the column sums (<= cost_max * k) back through
+    # the MXU operand dtype, whose exact-integer range is 127 (int8) /
+    # 255 (bf16).  Beyond it, one hi/lo digit split keeps both passes
+    # exact: digits <= 2^bits - 1 <= the operand range (cs <= 255*255 <
+    # 2^16, so two digits always suffice), and the f32/int32
+    # accumulators hold the recombined sums exactly.
+    digit_bits = 7 if use_int8 else 8
+    if cost_max * k <= (127 if use_int8 else 255):
+        row_sum = base_row
+    else:
+        def row_sum(cs):
+            ci = cs.astype(jnp.int32)
+            hi = ci >> digit_bits
+            lo = ci & ((1 << digit_bits) - 1)
+            return (base_row(hi) << digit_bits) + base_row(lo)
 
     def agg_cost(pc):
         cs = jnp.matmul(
             col_band, pc.astype(band_dtype), preferred_element_type=acc_dtype
         )
-        return lane_box_sum(cs, k)[:, 0:width].astype(jnp.int32)
+        return row_sum(cs)
 
     big_plane = jnp.full((tile_rows, width), _BIG, jnp.int32)
 

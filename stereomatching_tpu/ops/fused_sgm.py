@@ -69,14 +69,7 @@ def _kernel(
 
         @pl.when(pos > init_step)
         def _():
-            prev = carry[...]
-            m = jnp.min(prev, axis=0, keepdims=True)
-            up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=_BIG)
-            dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=_BIG)
-            best = jnp.minimum(
-                jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2
-            )
-            carry[...] = c + best - m
+            carry[...] = _step_math(carry[...], c, p1, p2, _BIG)
 
         out_ref[xc - 1 - j if reverse else j] = carry[...]
         return 0
@@ -134,20 +127,146 @@ def sgm_directional_pallas(
     return out[:s, :d, :p]
 
 
+def _step_math(prev, c, p1, p2, big):
+    """One recurrence step (ops/sgm._directional's body) on a [D, P]
+    carry; dtype-generic (int32 or int16 — values stay well within
+    int16 when costs and p2 do, see sgm_aggregate_pallas)."""
+    m = jnp.min(prev, axis=0, keepdims=True)
+    up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=big)
+    dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=big)
+    best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
+    return c + best - m
+
+
+def _kernel_bidir(
+    vf_ref,  # [xc, Dp, Pp] current forward strip
+    vb_ref,  # [xc, Dp, Pp] current backward strip (block n-1-s)
+    of_ref,
+    ob_ref,
+    carry_f,
+    carry_b,
+    *,
+    xc: int,
+    p1: int,
+    p2: int,
+    init_back: int,
+    big: int,
+):
+    s = pl.program_id(0)
+
+    def step(j, _):
+        # Forward and backward chains interleave in one loop: two
+        # independent dependency chains double the ILP of this
+        # latency-bound recurrence.
+        pos = s * xc + j
+        cf = vf_ref[j]
+
+        @pl.when(pos == 0)
+        def _():
+            carry_f[...] = cf
+
+        @pl.when(pos > 0)
+        def _():
+            carry_f[...] = _step_math(carry_f[...], cf, p1, p2, big)
+
+        of_ref[j] = carry_f[...]
+
+        cb = vb_ref[xc - 1 - j]
+
+        @pl.when(pos <= init_back)
+        def _():
+            carry_b[...] = cb
+
+        @pl.when(pos > init_back)
+        def _():
+            carry_b[...] = _step_math(carry_b[...], cb, p1, p2, big)
+
+        ob_ref[xc - 1 - j] = carry_b[...]
+        return 0
+
+    jax.lax.fori_loop(0, xc, step, 0)
+
+
+def sgm_bidirectional_pallas(
+    vol: jnp.ndarray,
+    p1: int,
+    p2: int,
+    strip: int = 8,
+    interpret: bool | None = None,
+    use_int16: bool = False,
+):
+    """Both directional passes over a scan-major volume [S, D, P] in ONE
+    kernel -> (L_forward, L_backward), each [S, D, P] in vol.dtype.
+
+    ``use_int16`` halves VMEM traffic and vector work; exact (and
+    bit-identical to the int32 path after widening) whenever
+    max_cost + p2 < 16384 — the padding sentinel 16384 then never wins
+    a min, exactly like the int32 _BIG."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    s, d, p = vol.shape
+    dt = jnp.int16 if use_int16 else jnp.int32
+    big = 16384 if use_int16 else _BIG
+    sub = 16 if use_int16 else 8
+    dp = _round_up(d, sub)
+    pp = _round_up(p, 128)
+    bytes_per_col = dp * pp * (2 if use_int16 else 4)
+    xc = max(1, min(strip, (8 << 20) // (8 * bytes_per_col)))
+    sp = _round_up(s, xc)
+    vol_pad = jnp.pad(
+        vol.astype(dt),
+        ((0, sp - s), (0, dp - d), (0, pp - p)),
+        constant_values=big,
+    )
+    n_strips = sp // xc
+    kernel = functools.partial(
+        _kernel_bidir, xc=xc, p1=p1, p2=p2, init_back=sp - s, big=big
+    )
+    fwd_map = lambda i: (i, 0, 0)  # noqa: E731
+    bwd_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
+    blk = lambda m: pl.BlockSpec((xc, dp, pp), m, memory_space=pltpu.VMEM)  # noqa: E731
+    lf, lb = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[blk(fwd_map), blk(bwd_map)],
+        out_specs=[blk(fwd_map), blk(bwd_map)],
+        out_shape=[jax.ShapeDtypeStruct((sp, dp, pp), dt)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((dp, pp), dt),
+            pltpu.VMEM((dp, pp), dt),
+        ],
+        interpret=interpret,
+    )(vol_pad, vol_pad)
+    return lf[:s, :d, :p], lb[:s, :d, :p]
+
+
 def sgm_aggregate_pallas(
-    vol: jnp.ndarray, p1: int = 8, p2: int = 96, interpret: bool | None = None
+    vol: jnp.ndarray,
+    p1: int = 8,
+    p2: int = 96,
+    interpret: bool | None = None,
+    small_values: bool = False,
 ) -> jnp.ndarray:
     """4-direction SGM aggregation of an int32 cost volume [H, W, D]
-    -> int32 [H, W, D]; bit-identical to ops/sgm.sgm_aggregate."""
+    -> int32 [H, W, D]; bit-identical to ops/sgm.sgm_aggregate.
+
+    ``small_values`` asserts max per-pixel cost + p2 < 16384 (true for
+    SAD <= 255 / census <= 24 costs with standard penalties) and runs
+    the passes in int16 — half the volume traffic and vector work."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
+    if small_values and p2 >= 16384:
+        small_values = False
     vol = vol.astype(jnp.int32)
-    h, w, d = vol.shape
     vol_v = jnp.transpose(vol, (0, 2, 1))  # [H, D, W]: vertical scans
     vol_h = jnp.transpose(vol, (1, 2, 0))  # [W, D, H]: horizontal scans
 
-    run = functools.partial(sgm_directional_pallas, p1=p1, p2=p2,
-                            interpret=interpret)
-    lr = run(vol_h) + run(vol_h, reverse=True)  # [W, D, H]
-    tb = run(vol_v) + run(vol_v, reverse=True)  # [H, D, W]
+    run = functools.partial(
+        sgm_bidirectional_pallas, p1=p1, p2=p2, interpret=interpret,
+        use_int16=small_values,
+    )
+    f_h, b_h = run(vol_h)
+    f_v, b_v = run(vol_v)
+    lr = f_h.astype(jnp.int32) + b_h.astype(jnp.int32)  # [W, D, H]
+    tb = f_v.astype(jnp.int32) + b_v.astype(jnp.int32)  # [H, D, W]
     return jnp.transpose(lr, (2, 0, 1)) + jnp.transpose(tb, (0, 2, 1))

@@ -123,3 +123,92 @@ def test_auto_tile_rows_batch_aware():
     params = StereoParams(square_width=5, num_shifts=4, edge_rule="exact")
     best, winner = match_and_score_pallas(left, left, params, tile_rows=8)
     assert best.shape == (32, 8, 128)
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+def test_fused_kernel_x_tiled(mode):
+    """x (lane) tiling must be invisible: n_x > 1 forced via a small
+    x_tile on a wide-ish image, bit-equal to the untiled kernel and the
+    oracle."""
+    params = StereoParams(square_width=9, times=4, lines=4, num_shifts=8,
+                          mode=mode, edge_rule="exact")
+    el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=512,
+                                                         seed=11)
+    best, winner = match_and_score_pallas(el, er, params, x_tile=128)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+    # Ragged: width not a multiple of the x tile.
+    el2, er2, wb2, ww2 = _edges_and_expected(params, h=16, w=450, seed=12)
+    b2, w2 = match_and_score_pallas(el2, er2, params, x_tile=128)
+    np.testing.assert_array_equal(np.asarray(b2), wb2)
+    np.testing.assert_array_equal(np.asarray(w2), ww2)
+
+
+@pytest.mark.parametrize("row_mode", ["matmul", "chunked", "tree"])
+def test_fused_kernel_row_modes(row_mode):
+    """All three row-sum realizations are bit-identical."""
+    params = StereoParams(square_width=21, times=4, lines=4, num_shifts=8,
+                          mode=BoundaryMode.GHOST, edge_rule="exact")
+    el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=300,
+                                                         seed=13)
+    best, winner = match_and_score_pallas(el, er, params, row_mode=row_mode)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+@pytest.mark.parametrize("sw,d", [(9, 12), (21, 8)])
+def test_fused_edges_kernel_matches_oracle(mode, sw, d):
+    """The single-kernel (brightness-in) path: in-VMEM exact-rule edges
+    + match loop, bit-equal to the oracle's separate phases."""
+    from stereomatching_tpu.ops.fused import match_score_edges_pallas
+
+    params = StereoParams(square_width=sw, num_shifts=d, mode=mode,
+                          edge_rule="exact")
+    left, right = synthetic_pair(h=48, w=64, seed=21)
+    lb = to_brightness(left).astype(np.float32)
+    rb = to_brightness(right).astype(np.float32)
+    el = oracle.find_edges(lb.astype(np.float64), params.threshold, mode,
+                           rule="exact")
+    er = oracle.find_edges(rb.astype(np.float64), params.threshold, mode,
+                           rule="exact")
+    matches = oracle.fill_matches(el, er, d, mode)
+    sums = np.stack([oracle.box_sum(matches[i], sw, mode) for i in range(d)])
+    scores = oracle.record_scores(matches, sums)
+    want_best, want_winner = oracle.best_and_winner(scores)
+
+    best, winner, gel, ger = match_score_edges_pallas(lb, rb, params)
+    np.testing.assert_array_equal(np.asarray(gel), el)
+    np.testing.assert_array_equal(np.asarray(ger), er)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+
+
+def test_fused_edges_kernel_batched_and_x_tiled():
+    from stereomatching_tpu.ops.fused import (
+        match_and_score_pallas,
+        match_score_edges_pallas,
+    )
+    from stereomatching_tpu.ops.edges import find_edges
+
+    params = StereoParams(square_width=9, num_shifts=8,
+                          mode=BoundaryMode.GHOST, edge_rule="exact")
+    import jax
+
+    lefts, rights = [], []
+    for i in range(3):
+        l, r = synthetic_pair(h=24, w=384, seed=30 + i)
+        lefts.append(to_brightness(l, np.float32))
+        rights.append(to_brightness(r, np.float32))
+    lb, rb = np.stack(lefts), np.stack(rights)
+    el = jax.vmap(lambda x: find_edges(x, params.threshold, params.mode,
+                                       params.edge_rule))(lb)
+    er = jax.vmap(lambda x: find_edges(x, params.threshold, params.mode,
+                                       params.edge_rule))(rb)
+    want_best, want_winner = match_and_score_pallas(el, er, params)
+    best, winner, gel, ger = match_score_edges_pallas(lb, rb, params,
+                                                      x_tile=128)
+    np.testing.assert_array_equal(np.asarray(gel), np.asarray(el))
+    np.testing.assert_array_equal(np.asarray(ger), np.asarray(er))
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(want_best))
+    np.testing.assert_array_equal(np.asarray(winner), np.asarray(want_winner))

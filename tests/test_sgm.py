@@ -124,12 +124,13 @@ class TestPallasSGM:
 
     @pytest.mark.parametrize("shape", [(20, 30, 8), (33, 47, 11), (8, 8, 3),
                                        (17, 130, 16)])
-    def test_aggregate_matches_xla(self, shape):
+    @pytest.mark.parametrize("small_values", [False, True])
+    def test_aggregate_matches_xla(self, shape, small_values):
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-        vol = jnp.asarray(self._vol(*shape, seed=shape[0]))
+        vol = jnp.asarray(self._vol(*shape, seed=shape[0], hi=255))
         np.testing.assert_array_equal(
-            np.asarray(sgm_aggregate_pallas(vol)),
+            np.asarray(sgm_aggregate_pallas(vol, small_values=small_values)),
             np.asarray(sgm_aggregate(vol)),
         )
 
