@@ -48,43 +48,65 @@ def _kernel(
     width: int,
     height: int,
     steps: int,
+    chains: int,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    rows = tile_rows + 2 * halo
+    span = chains * tile_rows + 2 * halo
 
+    # One contiguous DMA covers all chains' tiles plus halos; each chain
+    # is an overlapping row window of the same buffer.  The chains are
+    # data-independent Jacobi recurrences — interleaving them in one
+    # loop body doubles the ILP of this latency-bound step chain.
     cp = pltpu.make_async_copy(
-        w_hbm.at[b, pl.ds(i * tile_rows, rows), :], w_vmem, sems.at[0]
+        w_hbm.at[b, pl.ds(i * chains * tile_rows, span), :], w_vmem,
+        sems.at[0],
     )
     cp.start()
     cp.wait()
 
-    x0 = w_vmem[:]
+    x_full = w_vmem[:]
+    rows = tile_rows + 2 * halo
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
-    # Rows outside the global image stay 0 forever (out-of-buffer reads
-    # are 0 and do not evolve).
-    g = i * tile_rows + row - halo
-    in_img = ((g >= 0) & (g < height)).astype(jnp.int32)
-    x0 = x0 * in_img
 
-    def one_step(_, carry):
-        prev, cur = carry
+    x0s, masks = [], []
+    for c in range(chains):
+        xc = x_full[c * tile_rows : c * tile_rows + rows]
+        # Rows outside the global image stay 0 forever (out-of-buffer
+        # reads are 0 and do not evolve).
+        g = (i * chains + c) * tile_rows + row - halo
+        in_img = ((g >= 0) & (g < height)).astype(jnp.int32)
+        masks.append(in_img)
+        x0s.append(xc * in_img)
+
+    def advance(cur, prev, in_img):
         # Flat p+1: lane l+1, except lane W-1 takes lane 0 of the row
         # below.  Rolls are circular with non-negative shifts.
         right_c = pltpu.roll(cur, width - 1, 1)
-        right = jnp.where(lane == width - 1, pltpu.roll(right_c, rows - 1, 0), right_c)
+        right = jnp.where(
+            lane == width - 1, pltpu.roll(right_c, rows - 1, 0), right_c
+        )
         # Flat p-1: lane l-1, except lane 0 takes lane W-1 of the row above.
         left_c = pltpu.roll(cur, 1, 1)
         left = jnp.where(lane == 0, pltpu.roll(left_c, 1, 0), left_c)
         up = pltpu.roll(cur, 1, 0)  # row y-1
         down = pltpu.roll(cur, rows - 1, 0)  # row y+1
         avg = (right + down + left + up) // 4
-        nxt = jnp.where(cur == 0, avg, prev) * in_img
-        return cur, nxt
+        return jnp.where(cur == 0, avg, prev) * in_img
 
-    _, final = jax.lax.fori_loop(0, steps, one_step, (x0, x0))
-    out_ref[0] = final[halo : halo + tile_rows, :]
+    def one_step(_, carry):
+        return tuple(
+            (cur, advance(cur, prev, mask))
+            for (prev, cur), mask in zip(carry, masks)
+        )
+
+    init = tuple((x0, x0) for x0 in x0s)
+    final = jax.lax.fori_loop(0, steps, one_step, init)
+    for c in range(chains):
+        out_ref[0, c * tile_rows : (c + 1) * tile_rows, :] = final[c][1][
+            halo : halo + tile_rows, :
+        ]
 
 
 def fill_web_holes_pallas(
@@ -111,12 +133,15 @@ def fill_web_holes_pallas(
 
     tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     halo = _round_up(steps, 4)
-    hp = _round_up(h, tile_rows)
+    # Two interleaved chains per grid step when the image has at least
+    # two tiles (ILP for the latency-bound step chain).
+    chains = 2 if h > tile_rows else 1
+    super_rows = chains * tile_rows
+    hp = _round_up(h, super_rows)
     w_pad = jnp.pad(
         web.astype(jnp.int32), ((0, 0), (halo, hp - h + halo), (0, 0))
     )
-    n_tiles = hp // tile_rows
-    rows = tile_rows + 2 * halo
+    n_super = hp // super_rows
 
     kernel = functools.partial(
         _kernel,
@@ -125,17 +150,19 @@ def fill_web_holes_pallas(
         width=w,
         height=h,
         steps=steps,
+        chains=chains,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, n_tiles),
+        grid=(bsz, n_super),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, tile_rows, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, super_rows, w), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((rows, w), jnp.int32),
+            pltpu.VMEM((super_rows + 2 * halo, w), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,

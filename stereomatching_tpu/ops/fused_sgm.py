@@ -130,8 +130,15 @@ def sgm_directional_pallas(
 def _step_math(prev, c, p1, p2, big):
     """One recurrence step (ops/sgm._directional's body) on a [D, P]
     carry; dtype-generic (int32 or int16 — values stay well within
-    int16 when costs and p2 do, see sgm_aggregate_pallas)."""
-    m = jnp.min(prev, axis=0, keepdims=True)
+    int16 when costs and p2 do, see sgm_aggregate_pallas).  The sublane
+    reduction widens to int32 (Mosaic has no int16 reductions); the
+    result is cast back losslessly (values < 2^15)."""
+    if prev.dtype == jnp.int16:
+        m = jnp.min(prev.astype(jnp.int32), axis=0, keepdims=True).astype(
+            jnp.int16
+        )
+    else:
+        m = jnp.min(prev, axis=0, keepdims=True)
     up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=big)
     dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=big)
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
@@ -184,7 +191,10 @@ def _kernel_bidir(
         ob_ref[xc - 1 - j] = carry_b[...]
         return 0
 
-    jax.lax.fori_loop(0, xc, step, 0)
+    # Unrolled: static j makes every block access a static index and
+    # lets Mosaic schedule the two chains' ops interleaved.
+    for j in range(xc):
+        step(j, 0)
 
 
 def sgm_bidirectional_pallas(
