@@ -395,6 +395,7 @@ def _invoke_kernel(
             pltpu.VMEM((rows, bw_r), r_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(l_pad, r_pad)
     if n_x * wt != w:
@@ -582,35 +583,42 @@ def _edges_exact_tile(kk: jnp.ndarray, threshold: float) -> jnp.ndarray:
     rolls, so the first/last row and lane hold wrapped garbage — the
     caller's padding margins (pad >= half+1 rows, lane widths >= used
     region + 2) keep them out of every consumer's reach.
+
+    Each operator's 3-tap side sums are built from the shared partials
+    L = shift_x(kk, -1), R = shift_x(kk, +1) and their row shifts —
+    integer adds commute, so the sums equal the tap-by-tap order of
+    EDGE_OPERATORS (src/stereo.c:16-70) exactly while only ~6 arrays
+    are ever live (the Mosaic scoped-VMEM budget matters here).
     -> int32 {0,1} [rows, lanes]."""
-    from stereomatching_tpu.ops.edges import EDGE_OPERATORS
-
     rows, lanes = kk.shape
-    roll_y = {
-        -1: lambda x: pltpu.roll(x, 1, 0),
-        0: lambda x: x,
-        1: lambda x: pltpu.roll(x, rows - 1, 0),
-    }
-    roll_x = {
-        -1: lambda x: pltpu.roll(x, 1, 1),
-        0: lambda x: x,
-        1: lambda x: pltpu.roll(x, lanes - 1, 1),
-    }
-    taps = {}
-    for dy in (-1, 0, 1):
-        base = roll_y[dy](kk)
-        for dx in (-1, 0, 1):
-            taps[(dx, dy)] = roll_x[dx](base)
 
+    def sy(x, dy):  # result[r] = x[r + dy]
+        return pltpu.roll(x, 1, 0) if dy == -1 else pltpu.roll(x, rows - 1, 0)
+
+    left = pltpu.roll(kk, 1, 1)  # [r, j] = kk[r, j-1]
+    right = pltpu.roll(kk, lanes - 1, 1)  # [r, j] = kk[r, j+1]
     t32 = jnp.float32(threshold)
-    edges = jnp.zeros((rows, lanes), jnp.int32)
-    for (a0, a1, a2), (b0, b1, b2) in EDGE_OPERATORS:
-        ka = taps[a0] + taps[a1] + taps[a2]
-        kb = taps[b0] + taps[b1] + taps[b2]
+
+    def decide(ka, kb):
         lhs = (2 * jnp.abs(ka - kb)).astype(jnp.float32)
         rhs = jnp.minimum(t32 * (ka + kb).astype(jnp.float32),
                           jnp.float32(1536.0))
-        edges = edges | (lhs > rhs).astype(jnp.int32)
+        return (lhs > rhs).astype(jnp.int32)
+
+    # left_right: columns dx=-1 vs dx=+1 (3 row taps each).
+    edges = decide(
+        sy(left, -1) + left + sy(left, 1),
+        sy(right, -1) + right + sy(right, 1),
+    )
+    # top_bottom: rows dy=-1 vs dy=+1 of the horizontal triple sum.
+    hsum = left + kk + right
+    edges = edges | decide(sy(hsum, -1), sy(hsum, 1))
+    # upleft_downright: {(-1,-1),(0,-1),(-1,0)} vs {(1,0),(0,1),(1,1)}.
+    sl = left + kk
+    sr = kk + right
+    edges = edges | decide(sy(sl, -1) + left, right + sy(sr, 1))
+    # downleft_upright: {(-1,1),(0,1),(-1,0)} vs {(0,-1),(1,-1),(1,0)}.
+    edges = edges | decide(sy(sl, 1) + left, sy(sr, -1) + right)
     return edges
 
 
@@ -828,6 +836,10 @@ def match_score_edges_pallas(
             pltpu.VMEM((rows, bw_r), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # The default 16 MB scoped-vmem limit is a compiler default, not
+        # the 128 MB physical VMEM; the edge taps + match loop peak just
+        # above it at 192-row tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(l_pad, r_pad)
     outs = [o[:, :h, :w] for o in outs]

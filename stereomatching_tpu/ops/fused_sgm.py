@@ -128,17 +128,10 @@ def sgm_directional_pallas(
 
 
 def _step_math(prev, c, p1, p2, big):
-    """One recurrence step (ops/sgm._directional's body) on a [D, P]
-    carry; dtype-generic (int32 or int16 — values stay well within
-    int16 when costs and p2 do, see sgm_aggregate_pallas).  The sublane
-    reduction widens to int32 (Mosaic has no int16 reductions); the
-    result is cast back losslessly (values < 2^15)."""
-    if prev.dtype == jnp.int16:
-        m = jnp.min(prev.astype(jnp.int32), axis=0, keepdims=True).astype(
-            jnp.int16
-        )
-    else:
-        m = jnp.min(prev, axis=0, keepdims=True)
+    """One recurrence step (ops/sgm._directional's body) on an int32
+    [D, P] carry (int16 storage widens before calling: Mosaic has no
+    int16 min/reductions)."""
+    m = jnp.min(prev, axis=0, keepdims=True)
     up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=big)
     dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=big)
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
@@ -161,10 +154,16 @@ def _kernel_bidir(
 ):
     s = pl.program_id(0)
 
+    dt = carry_f.dtype
+    narrow = dt == jnp.int16
+
     def step(j, _):
         # Forward and backward chains interleave in one loop: two
         # independent dependency chains double the ILP of this
-        # latency-bound recurrence.
+        # latency-bound recurrence.  int16 is a STORAGE format (half
+        # the DMA traffic and strip count); arithmetic widens to int32
+        # (Mosaic has no int16 min) and narrows losslessly on store
+        # (values < 2^15 by the small_values contract).
         pos = s * xc + j
         cf = vf_ref[j]
 
@@ -174,7 +173,11 @@ def _kernel_bidir(
 
         @pl.when(pos > 0)
         def _():
-            carry_f[...] = _step_math(carry_f[...], cf, p1, p2, big)
+            prev = carry_f[...]
+            c32 = cf.astype(jnp.int32) if narrow else cf
+            p32 = prev.astype(jnp.int32) if narrow else prev
+            nxt = _step_math(p32, c32, p1, p2, big)
+            carry_f[...] = nxt.astype(dt) if narrow else nxt
 
         of_ref[j] = carry_f[...]
 
@@ -186,7 +189,11 @@ def _kernel_bidir(
 
         @pl.when(pos > init_back)
         def _():
-            carry_b[...] = _step_math(carry_b[...], cb, p1, p2, big)
+            prev = carry_b[...]
+            c32 = cb.astype(jnp.int32) if narrow else cb
+            p32 = prev.astype(jnp.int32) if narrow else prev
+            nxt = _step_math(p32, c32, p1, p2, big)
+            carry_b[...] = nxt.astype(dt) if narrow else nxt
 
         ob_ref[xc - 1 - j] = carry_b[...]
         return 0
