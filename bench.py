@@ -54,6 +54,11 @@ def main() -> None:
     p.add_argument("--tile-rows", type=int, default=None,
                    help="override the kernel's batch-aware auto row tiling "
                         "(ops/fused._auto_tile_rows)")
+    p.add_argument("--roofline", action="store_true",
+                   help="additionally print one roofline JSON line per "
+                        "phase (bytes/FLOPs/achieved BW/MXU+VPU "
+                        "utilization vs speed-of-light) to stderr; "
+                        "stdout stays the single headline line")
     args = p.parse_args()
 
     import os
@@ -135,6 +140,13 @@ def main() -> None:
         f"checksum={acc} baseline={baseline_fps:.3f}fps",
         file=sys.stderr,
     )
+    if args.roofline:
+        from stereomatching_tpu.bench.roofline import measure
+
+        for row in measure(h=h, w=w, d=args.disparities, batch=args.batch,
+                           iters=args.iters, tile_rows=args.tile_rows):
+            print(json.dumps(row), file=sys.stderr)
+
     print(
         json.dumps(
             {

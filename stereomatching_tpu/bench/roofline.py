@@ -115,14 +115,23 @@ def classic_phase_models(
     # --- contour: read web, min/max reduce, write output.
     contour = dict(bytes=8.0 * hw, mxu=0.0, vpu=6.0 * hw)
 
+    # --- single-kernel path (exact rule): k-plane prep (XLA pad) +
+    # in-VMEM edges + match loop + 4 output planes.
+    fused = dict(
+        bytes=8.0 * hw + 2.0 * prep_out + 16.0 * hp * w,
+        mxu=kernel["mxu"],
+        vpu=kernel["vpu"] + n_tiles * 50.0 * rows * lw_l,
+    )
+
     total = {
-        key: edges[key] + prep[key] + kernel[key] + diff[key] + contour[key]
+        key: fused[key] + diff[key] + contour[key]
         for key in ("bytes", "mxu", "vpu")
     }
     return {
         "edges": edges,
         "kernel_prep": prep,
         "match_kernel": kernel,
+        "fused_kernel": fused,
         "diffusion": diff,
         "contour": contour,
         "end_to_end": total,
@@ -239,6 +248,17 @@ def measure(
     t = _time_checksum(e2e, ins, iters)
     e2e_verdict = verdict("end_to_end", t / batch, models["end_to_end"], peaks)
 
+    from stereomatching_tpu.ops.fused import match_score_edges_pallas
+
+    fe_fn = jax.jit(
+        lambda a, b: sum(
+            x.sum()
+            for x in match_score_edges_pallas(a, b, params, tile_rows=tr)[:2]
+        )
+    )
+    t = _time_checksum(fe_fn, ins, iters)
+    fe_verdict = verdict("fused_kernel", t / batch, models["fused_kernel"], peaks)
+
     edge_ins = [(ef(a), ef(b)) for a, b in ins]
     jax.block_until_ready(edge_ins)
     del ins
@@ -284,6 +304,7 @@ def measure(
     t = _time_checksum(cont_fn, web_ins, iters)
     rows.append(verdict("contour", t / batch, models["contour"], peaks))
 
+    rows.append(fe_verdict)
     rows.append(e2e_verdict)
     return rows
 

@@ -68,6 +68,57 @@ def match_and_score(
     return best, winner.astype(jnp.int32)
 
 
+def match_and_score_subpixel(
+    left_edges: jnp.ndarray,
+    right_edges: jnp.ndarray,
+    params: StereoParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Opt-in extension beyond the reference: the classic argmax plus a
+    parabola refine on the scores around the winner (the maximizing
+    analogue of the modern pipeline's sub-pixel refine,
+    ops/costvolume.argmin_subpixel_scan).
+
+    -> (best_scores int32, winning_shifts int32, subpixel float32) with
+    subpixel == winner + offset, offset in [-0.5, 0.5] and 0 wherever a
+    neighbor score is missing (winner at either end) or the triple is
+    not strictly concave.  winner is bit-identical to match_and_score
+    (same last-wins carry)."""
+    h, w = left_edges.shape
+    right_ext = extend_right_edges(right_edges, params.num_shifts, params.mode)
+    half = params.half
+    mode = params.mode
+    missing = jnp.full((h, w), -1, jnp.int32)  # scores are >= 0
+
+    def step(carry, i):
+        best, winner, s_left, s_right, s_prev, was_new = carry
+        _, _, score = _score_for_shift(left_edges, right_ext, i, half, mode)
+        # The step after a (re-)selection supplies its right neighbor.
+        s_right = jnp.where(was_new == 1, score, s_right)
+        is_new = score >= best
+        return (
+            jnp.maximum(best, score),
+            jnp.where(is_new, i + 1, winner),
+            jnp.where(is_new, s_prev, s_left),
+            jnp.where(is_new, missing, s_right),
+            score,
+            is_new.astype(jnp.int32),
+        ), None
+
+    zeros = jnp.zeros((h, w), jnp.int32)
+    init = (zeros, zeros, missing, missing, missing, zeros)
+    (best, winner, s_left, s_right, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(params.num_shifts, dtype=jnp.int32)
+    )
+    sl = s_left.astype(jnp.float32)
+    sm = best.astype(jnp.float32)
+    sr = s_right.astype(jnp.float32)
+    denom = sl - 2.0 * sm + sr
+    valid = (s_left >= 0) & (s_right >= 0) & (denom < 0)
+    offset = jnp.where(valid, (sl - sr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    return best, winner, winner.astype(jnp.float32) + offset
+
+
 def match_and_score_collect(
     left_edges: jnp.ndarray,
     right_edges: jnp.ndarray,

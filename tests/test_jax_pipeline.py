@@ -128,3 +128,33 @@ def test_num_shifts_exceeding_width_wraps():
     want = oracle.run_pipeline(l, r, params)
     got = build_classic_pipeline(params)(l, r)
     assert np.array_equal(np.asarray(got["web-1"]), want["web-1"])
+
+
+def test_match_and_score_subpixel():
+    """Opt-in parabola refine: winner bit-identical to match_and_score,
+    offset within +-0.5 and zero at boundaries/missing neighbors."""
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.ops.argmax import (
+        match_and_score,
+        match_and_score_subpixel,
+    )
+    from stereomatching_tpu.ops.edges import find_edges
+    from stereomatching_tpu.utils.imageio import to_brightness
+
+    params = StereoParams(square_width=9, num_shifts=8, edge_rule="exact")
+    left, right = synthetic_pair(h=32, w=48, seed=17)
+    el = find_edges(jnp.asarray(to_brightness(left, np.float32)),
+                    params.threshold, params.mode, params.edge_rule)
+    er = find_edges(jnp.asarray(to_brightness(right, np.float32)),
+                    params.threshold, params.mode, params.edge_rule)
+    best0, winner0 = match_and_score(el, er, params)
+    best, winner, sub = match_and_score_subpixel(el, er, params)
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(best0))
+    np.testing.assert_array_equal(np.asarray(winner), np.asarray(winner0))
+    sub = np.asarray(sub)
+    w = np.asarray(winner)
+    assert np.all(np.abs(sub - w) <= 0.5 + 1e-6)
+    # Winners at the shift-range ends have a missing neighbor -> offset 0.
+    ends = (w == 1) | (w == params.num_shifts)
+    np.testing.assert_array_equal(sub[ends], w[ends].astype(np.float32))
