@@ -209,11 +209,7 @@ def _sgm_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-        # Per-pixel costs are <= 255 (SAD) / census bits (24), so the
-        # int16 in-kernel arithmetic is exact.
-        agg = sgm_aggregate_pallas(
-            vol, params.sgm_p1, params.sgm_p2, small_values=True
-        )
+        agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
     else:
         agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     disp, sub, cost = volume_argmin_subpixel(agg)
