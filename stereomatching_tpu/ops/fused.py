@@ -309,18 +309,23 @@ def _kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    x0 = j * x_stride  # lane origin of this x-tile in the padded planes
     rows = tile_rows + 2 * pad_half
     k = 2 * half + 1
 
-    cp_l = pltpu.make_async_copy(
-        l_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, l_vmem.shape[1])],
-        l_vmem, sems.at[0],
-    )
-    cp_r = pltpu.make_async_copy(
-        r_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, r_vmem.shape[1])],
-        r_vmem, sems.at[1],
-    )
+    def src(hbm, vmem):
+        # x_stride == 0 <=> single x-tile: a full lane slice keeps the
+        # offset trivially tile-aligned for any (non-128-multiple)
+        # width; tiled offsets j*x_stride are 128-aligned by
+        # construction (x_stride is a 128 multiple when n_x > 1).
+        if x_stride:
+            return hbm.at[
+                b, pl.ds(i * tile_rows, rows),
+                pl.ds(j * x_stride, vmem.shape[1]),
+            ]
+        return hbm.at[b, pl.ds(i * tile_rows, rows), :]
+
+    cp_l = pltpu.make_async_copy(src(l_hbm, l_vmem), l_vmem, sems.at[0])
+    cp_r = pltpu.make_async_copy(src(r_hbm, r_vmem), r_vmem, sems.at[1])
     cp_l.start()
     cp_r.start()
     cp_l.wait()
@@ -366,7 +371,7 @@ def _invoke_kernel(
         pad_half=pad_half,
         num_shifts=params.num_shifts,
         row_mode=row_mode,
-        x_stride=wt,
+        x_stride=wt if n_x > 1 else 0,
     )
     rows = tile_rows + 2 * pad_half
     best, winner = pl.pallas_call(
@@ -651,14 +656,16 @@ def _kernel_from_brightness(
     x0 = j * x_stride
     rows = tile_rows + 2 * pad_half
 
-    cp_l = pltpu.make_async_copy(
-        kl_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, l_vmem.shape[1])],
-        l_vmem, sems.at[0],
-    )
-    cp_r = pltpu.make_async_copy(
-        kr_hbm.at[b, pl.ds(i * tile_rows, rows), pl.ds(x0, r_vmem.shape[1])],
-        r_vmem, sems.at[1],
-    )
+    def src(hbm, vmem):
+        if x_stride:  # see _kernel.src: alignment provability
+            return hbm.at[
+                b, pl.ds(i * tile_rows, rows),
+                pl.ds(j * x_stride, vmem.shape[1]),
+            ]
+        return hbm.at[b, pl.ds(i * tile_rows, rows), :]
+
+    cp_l = pltpu.make_async_copy(src(kl_hbm, l_vmem), l_vmem, sems.at[0])
+    cp_r = pltpu.make_async_copy(src(kr_hbm, r_vmem), r_vmem, sems.at[1])
     cp_l.start()
     cp_r.start()
     cp_l.wait()
@@ -810,7 +817,7 @@ def match_score_edges_pallas(
         pad_half=pad_half,
         num_shifts=d,
         row_mode=row_mode,
-        x_stride=wt,
+        x_stride=wt if n_x > 1 else 0,
         threshold=float(params.threshold),
         height=h,
         img_width=w,
