@@ -226,12 +226,19 @@ def _match_loop(
     pad_half: int,
     num_shifts: int,
     row_mode: str = "chunked",
+    shift_unroll: int = 1,
 ):
     """The fused shift-match / box-filter / argmax loop on VMEM-resident
     edge planes ``l`` [rows, lw_l] / ``r0`` [rows, lw_r] (lane x + half
     == image column x, padded row y + pad_half == image row y).  Shared
     by the edge-map kernel (_kernel) and the brightness-input kernel
     (_kernel_from_brightness).  -> (best, winner) [tile_rows, width].
+
+    ``shift_unroll=2`` processes two shifts per loop iteration on two
+    slide carries one lane apart (each advancing two lanes per step):
+    the matmul pairs and rolls are independent, halving the
+    loop-carried chain; the in-iteration updates stay ordered so the
+    last-wins tie rule is untouched (bit-identical).
     """
     rows = tile_rows + 2 * pad_half
     del rows
@@ -257,11 +264,10 @@ def _match_loop(
     col_band = make_col_band(tile_rows, l.shape[0], k, y0, band_dtype)
     row_sum = make_row_box_sum(width, lanes, k, band_dtype, acc_dtype, row_mode)
 
-    def shift_step(d, carry):
-        best, winner, r_cur = carry
-        # Shift-by-d is realized incrementally: r_cur is the full right
-        # tile rotated left d lanes (one static-amount lane roll per
-        # step).  The window read stays at offset 0; the extra D lanes
+    def score_of(r_cur):
+        # The shift slide is incremental: r_cur is the full right tile
+        # pre-rotated left by the shift amount (static-amount lane
+        # rolls).  The window read stays at offset 0; the extra D lanes
         # on the right absorb the rotation so wraparound never enters
         # the window.
         mi = l == r_cur[:, 0:lanes]  # full width: lanes past width+k-1
@@ -272,20 +278,47 @@ def _match_loop(
         )
         sums = row_sum(cs)
         match = mi[pad_half : pad_half + tile_rows, half : half + width]
-        score = jnp.where(match, sums, 0)
+        return jnp.where(match, sums, 0)
+
+    def update(best, winner, score, d):
         # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
         winner = jnp.where(score >= best, d + 1, winner)
-        best = jnp.maximum(best, score)
+        return jnp.maximum(best, score), winner
+
+    zeros = jnp.zeros((tile_rows, width), jnp.int32)
+    lanes_r = r0.shape[1]
+    if shift_unroll == 2 and num_shifts % 2 == 0:
+
+        def pair_step(i, carry):
+            best, winner, r_even, r_odd = carry
+            s0 = score_of(r_even)
+            s1 = score_of(r_odd)
+            best, winner = update(best, winner, s0, 2 * i)
+            best, winner = update(best, winner, s1, 2 * i + 1)
+            # Both carries advance two lanes; rotate left 2 == rotate
+            # right lanes-2.
+            return (
+                best, winner,
+                pltpu.roll(r_even, lanes_r - 2, 1),
+                pltpu.roll(r_odd, lanes_r - 2, 1),
+            )
+
+        best, winner, _, _ = jax.lax.fori_loop(
+            0, num_shifts // 2, pair_step,
+            (zeros, zeros, r0, pltpu.roll(r0, lanes_r - 1, 1)),
+        )
+        return best, winner
+
+    def shift_step(d, carry):
+        best, winner, r_cur = carry
+        best, winner = update(best, winner, score_of(r_cur), d)
         # Rotate left 1 lane == rotate right (lanes - 1); pltpu.roll
         # requires a non-negative shift.
-        return best, winner, pltpu.roll(r_cur, r_cur.shape[1] - 1, 1)
+        return best, winner, pltpu.roll(r_cur, lanes_r - 1, 1)
 
-    init = (
-        jnp.zeros((tile_rows, width), jnp.int32),
-        jnp.zeros((tile_rows, width), jnp.int32),
-        r0,
+    best, winner, _ = jax.lax.fori_loop(
+        0, num_shifts, shift_step, (zeros, zeros, r0)
     )
-    best, winner, _ = jax.lax.fori_loop(0, num_shifts, shift_step, init)
     return best, winner
 
 
@@ -305,6 +338,7 @@ def _kernel(
     num_shifts: int,
     row_mode: str = "chunked",
     x_stride: int = 0,
+    shift_unroll: int = 1,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -334,7 +368,7 @@ def _kernel(
     best, winner = _match_loop(
         l_vmem[:], r_vmem[:],
         tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
-        num_shifts=num_shifts, row_mode=row_mode,
+        num_shifts=num_shifts, row_mode=row_mode, shift_unroll=shift_unroll,
     )
     best_ref[0] = best
     winner_ref[0] = winner
@@ -350,6 +384,7 @@ def _invoke_kernel(
     interpret: bool,
     row_mode: str = "chunked",
     x_tile: int | None = None,
+    shift_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Launch the kernel on fully padded inputs
     (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2).
@@ -372,6 +407,7 @@ def _invoke_kernel(
         num_shifts=params.num_shifts,
         row_mode=row_mode,
         x_stride=wt if n_x > 1 else 0,
+        shift_unroll=shift_unroll,
     )
     rows = tile_rows + 2 * pad_half
     best, winner = pl.pallas_call(
@@ -452,6 +488,7 @@ def match_and_score_pallas(
     interpret: bool | None = None,
     row_mode: str = "chunked",
     x_tile: int | None = None,
+    shift_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
     the input's shape ([H, W] or batched [B, H, W] — the batch becomes
@@ -491,7 +528,7 @@ def match_and_score_pallas(
     )
     best, winner = _invoke_kernel(
         l_pad, r_pad, w, params, tile_rows, pad_half, interpret, row_mode,
-        x_tile,
+        x_tile, shift_unroll,
     )
     best, winner = best[:, :h], winner[:, :h]
     if squeeze:
@@ -649,6 +686,7 @@ def _kernel_from_brightness(
     height: int,
     img_width: int,
     ghost: bool,
+    shift_unroll: int = 1,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -702,7 +740,7 @@ def _kernel_from_brightness(
     best, winner = _match_loop(
         el, er,
         tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
-        num_shifts=num_shifts, row_mode=row_mode,
+        num_shifts=num_shifts, row_mode=row_mode, shift_unroll=shift_unroll,
     )
     best_ref[0] = best
     winner_ref[0] = winner
@@ -762,6 +800,7 @@ def match_score_edges_pallas(
     interpret: bool | None = None,
     row_mode: str = "chunked",
     x_tile: int | None = None,
+    shift_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-kernel classic phases 1-2: brightness in, (best_scores,
     winning_shifts, edges_l, edges_r) out — the edge stencil runs
@@ -822,6 +861,7 @@ def match_score_edges_pallas(
         height=h,
         img_width=w,
         ghost=params.mode == BoundaryMode.GHOST,
+        shift_unroll=shift_unroll,
     )
     rows = tile_rows + 2 * pad_half
     out_spec = pl.BlockSpec(

@@ -212,3 +212,20 @@ def test_fused_edges_kernel_batched_and_x_tiled():
     np.testing.assert_array_equal(np.asarray(ger), np.asarray(er))
     np.testing.assert_array_equal(np.asarray(best), np.asarray(want_best))
     np.testing.assert_array_equal(np.asarray(winner), np.asarray(want_winner))
+
+
+def test_fused_kernel_shift_unroll_bit_identical():
+    params = StereoParams(square_width=9, num_shifts=8,
+                          mode=BoundaryMode.GHOST, edge_rule="exact")
+    el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=256,
+                                                         seed=41)
+    best, winner = match_and_score_pallas(el, er, params, shift_unroll=2)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+    # Odd shift counts fall back to the single-shift loop.
+    params3 = StereoParams(square_width=9, num_shifts=7,
+                           mode=BoundaryMode.WRAP, edge_rule="exact")
+    el3, er3, wb3, ww3 = _edges_and_expected(params3, h=24, w=128, seed=42)
+    b3, w3 = match_and_score_pallas(el3, er3, params3, shift_unroll=2)
+    np.testing.assert_array_equal(np.asarray(b3), wb3)
+    np.testing.assert_array_equal(np.asarray(w3), ww3)

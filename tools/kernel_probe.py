@@ -25,8 +25,12 @@ for _ in range(ITERS + 1):
 jax.block_until_ready(ins)
 modes = sys.argv[1:] or ["matmul", "chunked", "tree"]
 for mode in modes:
-    fn = jax.jit(lambda lp, rp, m=mode: sum(
-        x.sum() for x in _invoke_kernel(lp, rp, W, params, tr, pad_half, False, m)))
+    # "<row_mode>:u2" suffix selects the two-shifts-per-iteration loop.
+    rm, _, suffix = mode.partition(":")
+    unroll = 2 if suffix == "u2" else 1
+    fn = jax.jit(lambda lp, rp, m=rm, u=unroll: sum(
+        x.sum() for x in _invoke_kernel(lp, rp, W, params, tr, pad_half,
+                                        False, m, None, u)))
     acc = int(jax.device_get(fn(*ins[0])))
     t0 = time.perf_counter()
     for i in range(1, ITERS + 1):
