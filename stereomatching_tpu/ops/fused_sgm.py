@@ -90,7 +90,7 @@ def sgm_directional_pallas(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s, d, p = vol.shape
-    dp = _round_up(d, 8)
+    dp = max(8, 1 << (d - 1).bit_length())  # pow2 for the min tree
     pp = _round_up(p, 128)
     # Strip size: keep in+out double buffers within ~32 MB of VMEM
     # (vmem_limit_bytes below raises the compiler's 16 MB default;
@@ -131,11 +131,22 @@ def sgm_directional_pallas(
     return out[:s, :d, :p]
 
 
+def _min_over_d(x):
+    """min over the sublane (D) axis via a halving tree of static
+    slices — D is padded to a power of two by the callers.  Avoids the
+    generic cross-sublane reduction, which Mosaic lowers poorly."""
+    n = x.shape[0]
+    while n > 1:
+        n //= 2
+        x = jnp.minimum(x[:n], x[n:])
+    return x
+
+
 def _step_math(prev, c, p1, p2, big):
     """One recurrence step (ops/sgm._directional's body) on an int32
     [D, P] carry (int16 storage widens before calling: Mosaic has no
     int16 min/reductions)."""
-    m = jnp.min(prev, axis=0, keepdims=True)
+    m = _min_over_d(prev)
     up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=big)
     dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=big)
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
@@ -229,7 +240,7 @@ def sgm_bidirectional_pallas(
     dt = jnp.int16 if use_int16 else jnp.int32
     big = 16384 if use_int16 else _BIG
     sub = 16 if use_int16 else 8
-    dp = _round_up(d, sub)
+    dp = max(sub, 1 << (d - 1).bit_length())  # pow2 for the min tree
     pp = _round_up(p, 128)
     bytes_per_col = dp * pp * (2 if use_int16 else 4)
     xc = max(1, min(strip, (8 << 20) // (8 * bytes_per_col)))
