@@ -74,15 +74,11 @@ def classic_forward(
 
 
 def _fill_web_holes_auto(winner: jnp.ndarray, times: int) -> jnp.ndarray:
-    """Fused Pallas diffusion when the lane constraint allows (W % 128),
-    XLA scan otherwise — bit-identical either way."""
-    if winner.shape[-1] % 128 == 0:
-        from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
+    """Fused Pallas diffusion (any width — lanes pad internally);
+    bit-identical to the XLA scan."""
+    from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
 
-        return fill_web_holes_pallas(winner, times)
-    if winner.ndim == 3:
-        return jax.vmap(lambda wn: fill_web_holes(wn, times))(winner)
-    return fill_web_holes(winner, times)
+    return fill_web_holes_pallas(winner, times)
 
 
 def _classic_forward_batched_pallas(

@@ -45,7 +45,8 @@ def _kernel(
     *,
     tile_rows: int,
     halo: int,
-    width: int,
+    width: int,       # padded lane count (128 multiple)
+    img_w: int,       # real image width (flat-index row stride)
     height: int,
     steps: int,
     chains: int,
@@ -81,15 +82,28 @@ def _kernel(
         x0s.append(xc * in_img)
 
     def advance(cur, prev, in_img):
-        # Flat p+1: lane l+1, except lane W-1 takes lane 0 of the row
-        # below.  Rolls are circular with non-negative shifts.
+        # Flat p+1: lane l+1, except lane img_w-1 takes lane 0 of the
+        # row below.  Rolls are circular with non-negative shifts; when
+        # width > img_w (lane padding to the 128 tile), the pad lanes
+        # evolve garbage but the only real lane reading across the
+        # boundary (img_w-1's right / 0's left) is always overridden by
+        # these fixups, so lanes [0, img_w) stay exact.
         right_c = pltpu.roll(cur, width - 1, 1)
+        if img_w == width:
+            right_hop = right_c  # [r, img_w-1] is already cur[r, 0]
+        else:
+            right_hop = pltpu.roll(cur, img_w - 1, 1)
         right = jnp.where(
-            lane == width - 1, pltpu.roll(right_c, rows - 1, 0), right_c
+            lane == img_w - 1, pltpu.roll(right_hop, rows - 1, 0), right_c
         )
-        # Flat p-1: lane l-1, except lane 0 takes lane W-1 of the row above.
+        # Flat p-1: lane l-1, except lane 0 takes lane img_w-1 of the
+        # row above.
         left_c = pltpu.roll(cur, 1, 1)
-        left = jnp.where(lane == 0, pltpu.roll(left_c, 1, 0), left_c)
+        if img_w == width:
+            left_hop = left_c  # [r, 0] is already cur[r, img_w-1]
+        else:
+            left_hop = pltpu.roll(cur, (1 + width - img_w) % width, 1)
+        left = jnp.where(lane == 0, pltpu.roll(left_hop, 1, 0), left_c)
         up = pltpu.roll(cur, 1, 0)  # row y-1
         down = pltpu.roll(cur, rows - 1, 0)  # row y+1
         avg = (right + down + left + up) // 4
@@ -116,8 +130,7 @@ def fill_web_holes_pallas(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused diffusion -> int32, same shape as ``web`` ([H, W] or
-    [B, H, W]).  Requires W % 128 == 0; use ops.diffusion.fill_web_holes
-    otherwise (the pipelines auto-select)."""
+    [B, H, W]).  Any width (lanes pad to the 128 tile internally)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     steps = max(times - 1, 0)
@@ -125,8 +138,7 @@ def fill_web_holes_pallas(
     if squeeze:
         web = web[None]
     bsz, h, w = web.shape
-    if w % 128 != 0:
-        raise ValueError("fill_web_holes_pallas requires W % 128 == 0")
+    wp = _round_up(w, 128)
     if steps == 0:
         out = web.astype(jnp.int32)
         return out[0] if squeeze else out
@@ -139,7 +151,7 @@ def fill_web_holes_pallas(
     super_rows = chains * tile_rows
     hp = _round_up(h, super_rows)
     w_pad = jnp.pad(
-        web.astype(jnp.int32), ((0, 0), (halo, hp - h + halo), (0, 0))
+        web.astype(jnp.int32), ((0, 0), (halo, hp - h + halo), (0, wp - w))
     )
     n_super = hp // super_rows
 
@@ -147,7 +159,8 @@ def fill_web_holes_pallas(
         _kernel,
         tile_rows=tile_rows,
         halo=halo,
-        width=w,
+        width=wp,
+        img_w=w,
         height=h,
         steps=steps,
         chains=chains,
@@ -157,15 +170,15 @@ def fill_web_holes_pallas(
         grid=(bsz, n_super),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, super_rows, w), lambda b, i: (b, i, 0),
+            (1, super_rows, wp), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((super_rows + 2 * halo, w), jnp.int32),
+            pltpu.VMEM((super_rows + 2 * halo, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
     )(w_pad)
-    out = out[:, :h]
+    out = out[:, :h, :w]
     return out[0] if squeeze else out

@@ -38,9 +38,15 @@ def test_fused_diffusion_times_leq_one_identity():
     )
 
 
-def test_fused_diffusion_rejects_bad_width():
-    with pytest.raises(ValueError, match="128"):
-        fill_web_holes_pallas(_web(16, 100, 0), 4)
+@pytest.mark.parametrize("w", [100, 240, 960, 127, 129])
+def test_fused_diffusion_unaligned_widths(w):
+    """Any width runs (lanes pad internally); the flat-index p±1
+    row-crossing semantics must stay exact at the REAL width — the
+    crossing columns are the most padding-sensitive cells."""
+    web = _web(24, w, 3)
+    want = fill_web_holes(web, 6)
+    got = fill_web_holes_pallas(web, 6, tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_boundary_rows_stay_zero_semantics():
