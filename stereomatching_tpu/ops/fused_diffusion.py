@@ -18,8 +18,9 @@ boundary fix-up from the adjacent row; rows outside the global image
 are re-zeroed every step (out-of-buffer cells are 0 *forever*, they do
 not evolve).
 
-Constraint: W must be a multiple of 128 (the lane rolls must rotate
-over exactly W lanes).  Callers fall back to the XLA scan otherwise.
+Any width is supported: lanes pad to the 128 tile and the two
+boundary-crossing fixups source the REAL boundary columns via dedicated
+hop rotations, so pad lanes never contaminate a real cell.
 """
 
 from __future__ import annotations
@@ -143,8 +144,20 @@ def fill_web_holes_pallas(
         out = web.astype(jnp.int32)
         return out[0] if squeeze else out
 
-    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
     halo = _round_up(steps, 4)
+    # Shrink row tiles until the two chains' working set (~8 live
+    # [tile+2*halo, wp] arrays per chain + the shared input block) fits
+    # the VMEM budget — wide images would otherwise blow the scoped
+    # allocation (observed 29.7 MB at W=1920, tile 256).
+    budget = 44 << 20
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    while tile_rows > 8:
+        est = wp * 4 * (
+            2 * (tile_rows + 2 * halo) * 8 + (2 * tile_rows + 2 * halo) * 3
+        )
+        if est <= budget:
+            break
+        tile_rows -= 8
     # Two interleaved chains per grid step when the image has at least
     # two tiles (ILP for the latency-bound step chain).
     chains = 2 if h > tile_rows else 1
@@ -178,6 +191,7 @@ def fill_web_holes_pallas(
             pltpu.VMEM((super_rows + 2 * halo, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(w_pad)
     out = out[:, :h, :w]
