@@ -226,7 +226,7 @@ def _match_loop(
     pad_half: int,
     num_shifts: int,
     row_mode: str = "chunked",
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ):
     """The fused shift-match / box-filter / argmax loop on VMEM-resident
     edge planes ``l`` [rows, lw_l] / ``r0`` [rows, lw_r] (lane x + half
@@ -338,7 +338,7 @@ def _kernel(
     num_shifts: int,
     row_mode: str = "chunked",
     x_stride: int = 0,
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -384,7 +384,7 @@ def _invoke_kernel(
     interpret: bool,
     row_mode: str = "chunked",
     x_tile: int | None = None,
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Launch the kernel on fully padded inputs
     (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2).
@@ -488,7 +488,7 @@ def match_and_score_pallas(
     interpret: bool | None = None,
     row_mode: str = "chunked",
     x_tile: int | None = None,
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
     the input's shape ([H, W] or batched [B, H, W] — the batch becomes
@@ -686,7 +686,7 @@ def _kernel_from_brightness(
     height: int,
     img_width: int,
     ghost: bool,
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -800,7 +800,7 @@ def match_score_edges_pallas(
     interpret: bool | None = None,
     row_mode: str = "chunked",
     x_tile: int | None = None,
-    shift_unroll: int = 1,
+    shift_unroll: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-kernel classic phases 1-2: brightness in, (best_scores,
     winning_shifts, edges_l, edges_r) out — the edge stencil runs
