@@ -46,7 +46,7 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     vol_ref,  # [xc, Dp, Pp] VMEM block (current strip)
     out_ref,  # [xc, Dp, Pp] VMEM block
-    carry,  # [Dp, Pp] scratch, persists across grid steps
+    carry,  # [Dp, Pp] scratch, persists ACROSS grid steps only
     *,
     xc: int,
     p1: int,
@@ -54,27 +54,44 @@ def _kernel(
     reverse: bool,
     init_step: int,
 ):
+    """The strip walk is Python-unrolled with the carry as a VALUE —
+    scratch is read once and written once per strip (not per column),
+    and the carry re-initialization at the first real column (position
+    ``init_step``; leading pad columns of a reverse pass come first) is
+    resolved by a strip-level branch on the STATIC split point, so the
+    steady-state column loop has no conditionals at all."""
     s = pl.program_id(0)
+    idx = (lambda j: xc - 1 - j) if reverse else (lambda j: j)
+    init_strip = init_step // xc
+    init_j = init_step % xc
 
-    def step(j, _):
-        c = vol_ref[xc - 1 - j if reverse else j]
-        # Processing-order position; the first REAL column re-inits the
-        # carry (leading pad columns of a reverse pass are skipped by
-        # init_step > 0).
-        pos = s * xc + j
+    def run(init_at):
+        # init_at: column index (within the strip, processing order)
+        # up to which the carry just copies the input; None = pure
+        # recurrence; "all" = every column copies (pad-only strip).
+        cv = carry[...]
+        for j in range(xc):
+            c = vol_ref[idx(j)]
+            if init_at == "all" or (init_at is not None and j <= init_at):
+                cv = c
+            else:
+                cv = _step_math(cv, c, p1, p2, _BIG)
+            out_ref[idx(j)] = cv
+        carry[...] = cv
 
-        @pl.when(pos <= init_step)
+    @pl.when(s == init_strip)
+    def _():
+        run(init_j)
+
+    @pl.when(s > init_strip)
+    def _():
+        run(None)
+
+    if init_strip > 0:
+
+        @pl.when(s < init_strip)
         def _():
-            carry[...] = c
-
-        @pl.when(pos > init_step)
-        def _():
-            carry[...] = _step_math(carry[...], c, p1, p2, _BIG)
-
-        out_ref[xc - 1 - j if reverse else j] = carry[...]
-        return 0
-
-    jax.lax.fori_loop(0, xc, step, 0)
+            run("all")
 
 
 def sgm_directional_pallas(
