@@ -198,6 +198,199 @@ def _fill_invalid_sharded(
     return d
 
 
+def _sgm_step(carry, c, p1: int, p2: int):
+    """One SGM recurrence step on [..., D] planes — the same operations
+    in the same order as ops/sgm._directional's scan body, so a sharded
+    scan seeded with the previous shard's carry is bit-identical to the
+    single-chip scan."""
+    big = 2**28  # ops/sgm._BIG
+    pad0 = [(0, 0)] * (carry.ndim - 1)
+    m = carry.min(axis=-1, keepdims=True)
+    up = jnp.pad(carry[..., 1:], pad0 + [(0, 1)], constant_values=big)
+    dn = jnp.pad(carry[..., :-1], pad0 + [(1, 0)], constant_values=big)
+    best = jnp.minimum(jnp.minimum(carry, jnp.minimum(up, dn) + p1), m + p2)
+    return c + best - m
+
+
+def _sgm_local_pass(rows, seed, seeded: bool, p1: int, p2: int):
+    """Directional SGM over this shard's rows [hs, ...inner..., D] in
+    processing order.  ``seeded``: continue from the previous shard's
+    carry (``seed``); else the first row initializes the recurrence
+    (ops/sgm._directional's init).  -> (L rows, final carry)."""
+    first = rows[0]
+    init = _sgm_step(seed, first, p1, p2) if seeded else first
+    if rows.shape[0] > 1:
+        def step(carry, c):
+            out = _sgm_step(carry, c, p1, p2)
+            return out, out
+
+        _, rest = jax.lax.scan(step, init, rows[1:])
+        out = jnp.concatenate([init[None], rest], axis=0)
+    else:
+        out = init[None]
+    return out, out[-1]
+
+
+def _sgm_vertical_sharded(vol, p1: int, p2: int, n_rows: int):
+    """Both vertical SGM passes over a row-sharded volume.  ``vol``:
+    local [bl, hs, W, D] block.  -> (top_down, bottom_up), same shape,
+    bit-identical to the unsharded scans.
+
+    The y recurrence crosses shard boundaries, so the passes run as
+    ``n_rows`` phases with a [bl, W, D] carry handed to the next shard
+    by ppermute: in phase j, shard j runs its top->bottom strip while
+    shard n-1-j runs bottom->up — the two directions overlap on distinct
+    shards, so both together cost about ONE global-height scan of
+    wall-clock (plus (n-1) carry hops), regardless of n.  This is the
+    honest scaling of an inherently sequential recurrence; the
+    horizontal passes and the rest of the pipeline scale ~n x."""
+    rows_tb = jnp.moveaxis(vol, 1, 0)  # [hs, bl, W, D]
+    rows_bt = rows_tb[::-1]
+    my = jax.lax.axis_index(ROWS_AXIS)
+
+    zero_carry = jnp.zeros_like(rows_tb[0])
+    out_tb = jnp.zeros_like(rows_tb)
+    out_bt = jnp.zeros_like(rows_tb)
+    carry_tb = seed_tb = zero_carry
+    carry_bt = seed_bt = zero_carry
+    for j in range(n_rows):
+        seeded = j > 0
+
+        def run_tb(out, carry, seed):
+            del out, carry
+            return _sgm_local_pass(rows_tb, seed, seeded, p1, p2)
+
+        def run_bt(out, carry, seed):
+            del out, carry
+            return _sgm_local_pass(rows_bt, seed, seeded, p1, p2)
+
+        keep = lambda out, carry, seed: (out, carry)  # noqa: E731
+        out_tb, carry_tb = jax.lax.cond(
+            my == j, run_tb, keep, out_tb, carry_tb, seed_tb
+        )
+        out_bt, carry_bt = jax.lax.cond(
+            my == n_rows - 1 - j, run_bt, keep, out_bt, carry_bt, seed_bt
+        )
+        if j < n_rows - 1:
+            down = [(i, i + 1) for i in range(n_rows - 1)]
+            up = [(i, i - 1) for i in range(1, n_rows)]
+            seed_tb = jax.lax.ppermute(carry_tb, ROWS_AXIS, down)
+            seed_bt = jax.lax.ppermute(carry_bt, ROWS_AXIS, up)
+
+    tb = jnp.moveaxis(out_tb, 0, 1)
+    bt = jnp.moveaxis(out_bt[::-1], 0, 1)
+    return tb, bt
+
+
+def _census_blocks_sgm(left, right, params: ModernParams, n_rows: int):
+    """Cost-input planes for the sharded SGM path: census codes (with a
+    census-window halo exchange and edge-replicated global boundaries,
+    matching the single-chip census_transform's mode="edge" pad) or the
+    raw intensities for SAD.  -> two [bl, hs, W] int32 blocks."""
+    if params.cost != "census":
+        return left, right
+    from stereomatching_tpu.ops.costvolume import census_transform
+
+    bl, hs, w = left.shape
+    ch = params.census_window // 2
+    ax = ROWS_AXIS
+    idx = jax.lax.axis_index(ax)
+    g_col = (idx * hs + jnp.arange(-ch, hs + ch))[None, :, None]
+    h_global = n_rows * hs
+
+    def prep(x):
+        ext = with_row_halo(x, ch, ax, n_rows, circular=False)
+        ext = jnp.where(g_col < 0, ext[:, ch : ch + 1, :], ext)
+        ext = jnp.where(g_col >= h_global, ext[:, ch + hs - 1 : ch + hs, :], ext)
+        tf = jax.vmap(lambda p: census_transform(p, params.census_window))
+        return tf(ext)[:, ch : ch + hs, :]
+
+    return prep(left), prep(right)
+
+
+def _sgm_shard_forward(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    n_rows: int,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Per-shard SGM path (models/modern._sgm_forward sharded over rows).
+    The horizontal recurrences, the volume argmin, the right-view
+    re-projection, and LR consistency are all x-only and stay
+    intra-shard; the vertical recurrences run as a phased carry chain
+    (_sgm_vertical_sharded).  ``use_pallas`` routes the horizontal
+    passes through the VMEM kernel (ops/fused_sgm.py) with the local
+    batch*rows folded into the kernel's independent lane axis."""
+    from stereomatching_tpu.models.modern import _pixel_cost
+    from stereomatching_tpu.ops.costvolume import lr_consistency
+    from stereomatching_tpu.ops.sgm import (
+        _directional,
+        right_disparity_from_left_volume,
+        volume_argmin_subpixel,
+    )
+
+    bl, hs, w = left.shape
+    d_count = params.num_disparities
+    p1, p2 = params.sgm_p1, params.sgm_p2
+    ref, other = _census_blocks_sgm(
+        left.astype(jnp.int32), right.astype(jnp.int32), params, n_rows
+    )
+    pcost = _pixel_cost(params)
+    other_ext = jax.vmap(lambda o: _extend_left(o, d_count))(other)
+
+    def cost_at(d):
+        zero = jnp.zeros((), d.dtype)
+        win = jax.lax.dynamic_slice(
+            other_ext, (zero, zero, d_count - d), (bl, hs, w)
+        )
+        return pcost(ref, win)
+
+    vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))
+    vol = jnp.moveaxis(vol, 0, -1)  # [bl, hs, W, D]
+
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        # Scan-major [W, D, bl*hs]: the batch and local rows are
+        # independent scan lanes, so folding them into P keeps the
+        # kernel's per-step vector work wide.
+        vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d_count, bl * hs)
+        f_h = sgm_directional_pallas(vol_h, p1, p2)
+        b_h = sgm_directional_pallas(vol_h, p1, p2, reverse=True)
+        unfold = lambda x: jnp.transpose(  # noqa: E731
+            x.reshape(w, d_count, bl, hs), (2, 3, 0, 1)
+        )
+        lr_pass, rl_pass = unfold(f_h), unfold(b_h)
+    else:
+        lr_pass = jax.vmap(lambda v: _directional(v, p1, p2))(vol)
+        rl_pass = jnp.flip(
+            jax.vmap(lambda v: _directional(v, p1, p2))(jnp.flip(vol, axis=2)),
+            axis=2,
+        )
+    tb_pass, bt_pass = _sgm_vertical_sharded(vol, p1, p2, n_rows)
+    agg = lr_pass + rl_pass + tb_pass + bt_pass
+
+    disp, sub, cost = jax.vmap(volume_argmin_subpixel)(agg)
+    dr = jax.vmap(right_disparity_from_left_volume)(agg)
+    valid = jax.vmap(
+        functools.partial(
+            lr_consistency,
+            max_diff=params.lr_max_diff,
+            num_disparities=d_count,
+        )
+    )(disp, dr)
+    filled = _fill_invalid_sharded(sub, valid, params.fill_iterations, n_rows)
+    return {
+        "disparity": disp,
+        "subpixel": sub,
+        "disparity_right": dr,
+        "valid": valid,
+        "filled": filled,
+        "cost": cost,
+    }
+
+
 def _modern_shard_forward(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -276,15 +469,12 @@ def sharded_modern_forward(
     """Modern pipeline on a global batch [B, H, W] of int32 pixel planes
     sharded over ``mesh``.  B must divide by the data axis, H by the
     rows axis; shard height must cover the cost phase's y reach
-    (window//2 + census_window//2).  Restrictions: box aggregation and
-    scales=1 (SGM's vertical recurrences are global in y; run that
-    configuration on the single-chip tier)."""
-    if params.aggregation != "box":
-        raise ValueError(
-            "sharded modern tier supports box aggregation only (SGM's "
-            "vertical passes are global in y — use the single-chip tier)"
-        )
-    if params.scales != 1:
+    (window//2 + census_window//2 for box aggregation, the census
+    neighborhood alone for SGM, whose vertical recurrences instead run
+    as a phased carry chain across the row shards).  Restriction:
+    scales=1 for box aggregation (the half-resolution pyramid does not
+    row-shard evenly); SGM ignores scales."""
+    if params.aggregation == "box" and params.scales != 1:
         raise ValueError(
             "sharded modern tier supports scales=1 (the half-resolution "
             "pyramid does not row-shard evenly)"
@@ -292,7 +482,10 @@ def sharded_modern_forward(
     n_rows = mesh.shape[ROWS_AXIS]
     h = left.shape[1]
     hs = h // n_rows
-    reach = _cost_reach(params)
+    if params.aggregation == "sgm":
+        reach = params.census_window // 2 if params.cost == "census" else 0
+    else:
+        reach = _cost_reach(params)
     if h % n_rows or hs < max(reach, 1):
         raise ValueError(
             f"height {h} must split into >= {max(reach, 1)}-row shards "
@@ -307,8 +500,13 @@ def sharded_modern_forward(
         "filled": plane,
         "cost": plane,
     }
+    body = (
+        _sgm_shard_forward
+        if params.aggregation == "sgm"
+        else _modern_shard_forward
+    )
     f = functools.partial(
-        _modern_shard_forward,
+        body,
         params=params,
         n_rows=n_rows,
         use_pallas=use_pallas,

@@ -85,15 +85,36 @@ def test_sharded_modern_window_one():
     _assert_equal(sharded, want)
 
 
+@pytest.mark.parametrize("data,rows", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_modern_sgm_matches_single(data, rows):
+    # The vertical recurrences run as a phased ppermute carry chain —
+    # must be bit-identical to the single-chip scans for any row count.
+    params = ModernParams(num_disparities=8, aggregation="sgm")
+    sharded, want = _run_both(params, data, rows, seed=11)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_sgm_census_matches_single():
+    params = ModernParams(
+        num_disparities=8, aggregation="sgm", cost="census", census_window=5
+    )
+    sharded, want = _run_both(params, 1, 4, seed=13)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_sgm_pallas_matches_single():
+    # Pallas horizontal passes (batch*rows folded into the lane axis) +
+    # XLA vertical carry chain.
+    params = ModernParams(num_disparities=8, aggregation="sgm")
+    sharded, want = _run_both(params, 2, 4, use_pallas=True, seed=17)
+    _assert_equal(sharded, want)
+
+
 def test_sharded_modern_validation():
     from stereomatching_tpu.parallel import sharded_modern_forward
 
     mesh = _mesh(1, 8)
     lb = np.zeros((1, 48, 64), np.int32)
-    with pytest.raises(ValueError, match="box aggregation"):
-        sharded_modern_forward(
-            lb, lb, ModernParams(num_disparities=8, aggregation="sgm"), mesh
-        )
     with pytest.raises(ValueError, match="scales=1"):
         sharded_modern_forward(
             lb, lb, ModernParams(num_disparities=8, scales=2), mesh
