@@ -45,7 +45,7 @@ def classic_forward(
         best, winner, edges_l, edges_r = match_score_edges_pallas(
             left, right, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times)
+        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
     elif use_pallas:
         from stereomatching_tpu.ops.fused import match_and_score_pallas
 
@@ -54,7 +54,7 @@ def classic_forward(
         best, winner = match_and_score_pallas(
             edges_l, edges_r, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times)
+        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
     else:
         edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
         edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
@@ -73,12 +73,15 @@ def classic_forward(
     }
 
 
-def _fill_web_holes_auto(winner: jnp.ndarray, times: int) -> jnp.ndarray:
+def _fill_web_holes_auto(
+    winner: jnp.ndarray, times: int, num_shifts: int
+) -> jnp.ndarray:
     """Fused Pallas diffusion (any width — lanes pad internally);
-    bit-identical to the XLA scan."""
+    bit-identical to the XLA scan.  The winner plane is bounded by
+    num_shifts, which lets batched calls pack two images per int32."""
     from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
 
-    return fill_web_holes_pallas(winner, times)
+    return fill_web_holes_pallas(winner, times, value_bound=num_shifts + 1)
 
 
 def _classic_forward_batched_pallas(
@@ -97,7 +100,7 @@ def _classic_forward_batched_pallas(
         best, winner, edges_l, edges_r = match_score_edges_pallas(
             left, right, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times)
+        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
         out, min_e, max_e = jax.vmap(
             lambda wb: draw_contour(wb, params.lines)
         )(web)
@@ -121,7 +124,7 @@ def _classic_forward_batched_pallas(
     best, winner = match_and_score_pallas(
         edges_l, edges_r, params, tile_rows=tile_rows
     )
-    web = _fill_web_holes_auto(winner, params.times)
+    web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
     out, min_e, max_e = jax.vmap(lambda wb: draw_contour(wb, params.lines))(web)
     return {
         "edges-1": edges_l,

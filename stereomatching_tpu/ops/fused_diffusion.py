@@ -51,6 +51,7 @@ def _kernel(
     height: int,
     steps: int,
     chains: int,
+    packed: bool,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -89,26 +90,45 @@ def _kernel(
         # evolve garbage but the only real lane reading across the
         # boundary (img_w-1's right / 0's left) is always overridden by
         # these fixups, so lanes [0, img_w) stay exact.
+        #
+        # The fixups touch ONE lane each, so they are built from
+        # [rows, 1] slivers (aligned lane-0 slices, sublane-rolled,
+        # lane-broadcast) instead of full-tile sublane rotations — the
+        # kernel is roll-throughput-bound and the sliver ops are ~free
+        # next to a full lattice rotation.
         right_c = pltpu.roll(cur, width - 1, 1)
-        if img_w == width:
-            right_hop = right_c  # [r, img_w-1] is already cur[r, 0]
-        else:
-            right_hop = pltpu.roll(cur, img_w - 1, 1)
-        right = jnp.where(
-            lane == img_w - 1, pltpu.roll(right_hop, rows - 1, 0), right_c
-        )
-        # Flat p-1: lane l-1, except lane 0 takes lane img_w-1 of the
-        # row above.
         left_c = pltpu.roll(cur, 1, 1)
+        # cur[r+1, 0] at lane img_w-1:
+        col0 = cur[:, 0:1]
+        right_fix = jnp.broadcast_to(
+            pltpu.roll(col0, rows - 1, 0), (rows, width)
+        )
+        right = jnp.where(lane == img_w - 1, right_fix, right_c)
+        # cur[r-1, img_w-1] at lane 0.  left_c's lane 0 is cur's lane
+        # width-1 == img_w-1 when unpadded; padded widths hop the real
+        # boundary column to lane 0 first.
         if img_w == width:
-            left_hop = left_c  # [r, 0] is already cur[r, img_w-1]
+            colw = left_c[:, 0:1]
         else:
-            left_hop = pltpu.roll(cur, (1 + width - img_w) % width, 1)
-        left = jnp.where(lane == 0, pltpu.roll(left_hop, 1, 0), left_c)
+            colw = pltpu.roll(cur, (width - img_w + 1) % width, 1)[:, 0:1]
+        left_fix = jnp.broadcast_to(pltpu.roll(colw, 1, 0), (rows, width))
+        left = jnp.where(lane == 0, left_fix, left_c)
         up = pltpu.roll(cur, 1, 0)  # row y-1
         down = pltpu.roll(cur, rows - 1, 0)  # row y+1
-        avg = (right + down + left + up) // 4
-        return jnp.where(cur == 0, avg, prev) * in_img
+        if not packed:
+            avg = (right + down + left + up) // 4
+            return jnp.where(cur == 0, avg, prev) * in_img
+        # Packed: two images per int32 (16+16 bits).  Field values are
+        # < 2^14 (caller-proven bound), so the 4-way sum stays < 2^16
+        # per field — one 32-bit add never carries across fields — and
+        # //4 is a shift with the leaked high-field bits masked off.
+        # The zero test / keep-prev select act per field via bit masks.
+        s = right + down + left + up
+        avg = (s >> 2) & jnp.int32(0x3FFF3FFF)
+        m_lo = jnp.where((cur & 0xFFFF) == 0, jnp.int32(0xFFFF), 0)
+        m_hi = jnp.where((cur >> 16) == 0, jnp.int32(-65536), 0)
+        mask = m_lo | m_hi
+        return ((avg & mask) | (prev & ~mask)) * in_img
 
     def one_step(_, carry):
         return tuple(
@@ -129,9 +149,18 @@ def fill_web_holes_pallas(
     times: int,
     tile_rows: int = 256,
     interpret: Optional[bool] = None,
+    value_bound: Optional[int] = None,
+    _packed_fields: bool = False,
 ) -> jnp.ndarray:
     """Fused diffusion -> int32, same shape as ``web`` ([H, W] or
-    [B, H, W]).  Any width (lanes pad to the 128 tile internally)."""
+    [B, H, W]).  Any width (lanes pad to the 128 tile internally).
+
+    ``value_bound``: caller-proven exclusive upper bound on the web's
+    values (the classic pipeline's winner plane is bounded by
+    num_shifts).  When it fits 14 bits, batched inputs pack TWO images
+    into each int32 plane (16+16 bit fields) so every roll and DMA of
+    this roll-throughput-bound kernel serves two images — bit-exact,
+    because per-field sums stay below the field boundary."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     steps = max(times - 1, 0)
@@ -143,6 +172,25 @@ def fill_web_holes_pallas(
     if steps == 0:
         out = web.astype(jnp.int32)
         return out[0] if squeeze else out
+
+    packed = (
+        value_bound is not None
+        and 0 <= value_bound < (1 << 14)
+        and not squeeze
+        and bsz >= 2
+    )
+    if packed:
+        web32 = web.astype(jnp.int32)
+        if bsz % 2:
+            web32 = jnp.concatenate([web32, web32[-1:]], axis=0)
+        hi, lo = web32[0::2], web32[1::2]
+        inner = fill_web_holes_pallas(
+            (hi << 16) | lo, times, tile_rows, interpret, value_bound=None,
+            _packed_fields=True,
+        )
+        out = jnp.stack([inner >> 16, inner & 0xFFFF], axis=1)
+        out = out.reshape(-1, h, w)[:bsz]
+        return out
 
     halo = _round_up(steps, 4)
     # Shrink row tiles until the two chains' working set (~8 live
@@ -177,6 +225,7 @@ def fill_web_holes_pallas(
         height=h,
         steps=steps,
         chains=chains,
+        packed=_packed_fields,
     )
     out = pl.pallas_call(
         kernel,

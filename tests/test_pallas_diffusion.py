@@ -57,3 +57,22 @@ def test_boundary_rows_stay_zero_semantics():
     want = fill_web_holes(web, 6)
     got = fill_web_holes_pallas(web, 6, tile_rows=8)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_packed_batch_matches_unpacked():
+    # value_bound < 2^14 packs two images per int32 plane — must be
+    # bit-identical to the unpacked kernel (and hence the XLA scan).
+    rng = np.random.default_rng(21)
+    webs = (rng.random((5, 40, 200)) < 0.3) * rng.integers(1, 31, (5, 40, 200))
+    webs = webs.astype(np.int32)
+    want = fill_web_holes_pallas(webs, 12, tile_rows=16)
+    got = fill_web_holes_pallas(webs, 12, tile_rows=16, value_bound=31)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_packed_bound_too_large_falls_back():
+    rng = np.random.default_rng(22)
+    webs = rng.integers(0, 1 << 15, (2, 24, 128)).astype(np.int32)
+    want = fill_web_holes_pallas(webs, 6, tile_rows=8)
+    got = fill_web_holes_pallas(webs, 6, tile_rows=8, value_bound=1 << 15)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
