@@ -17,9 +17,24 @@ import jax.numpy as jnp
 def draw_contour(
     web: jnp.ndarray, num_lines: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (contour int32 {0,1} [H, W], min_elevation, max_elevation)."""
+    """-> (contour int32 {0,1} [H, W], min_elevation, max_elevation).
+
+    The ``% interval == 0`` test is evaluated division-free: integer
+    modulo has no VPU hardware path (the roofline showed the banding
+    pass ~29x off its HBM bound), so the quotient comes from a float32
+    divide with the remainder checked back in int32.  Elevations are
+    winner indices <= num_shifts (far below 2^20), so the float32
+    quotient is within +-1 of the true floor; the remainder test
+    accepts r in {-interval, 0, interval}, which classifies every pixel
+    exactly under that error bound (true remainder r' in [0, interval)
+    maps to r in {r'-interval, r', r'+interval}; r' == 0 iff r is a
+    multiple of interval in that window).
+    """
     max_e = web.max()
     min_e = web.min()
     interval = jnp.maximum((max_e - min_e) // num_lines, 1)
-    out = (((web - min_e) % interval) == 0).astype(jnp.int32)
+    x = web - min_e
+    q = jnp.floor(x.astype(jnp.float32) / interval.astype(jnp.float32))
+    r = x - q.astype(jnp.int32) * interval
+    out = ((r == 0) | (r == interval) | (r == -interval)).astype(jnp.int32)
     return out, min_e, max_e

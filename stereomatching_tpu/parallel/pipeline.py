@@ -178,9 +178,13 @@ def _shard_forward(
     max_e = jax.lax.pmax(web.max(axis=(-2, -1)), ax)  # [bl]
     min_e = jax.lax.pmin(web.min(axis=(-2, -1)), ax)  # [bl]
     interval = jnp.maximum((max_e - min_e) // params.lines, 1)
-    out = (((web - min_e[:, None, None]) % interval[:, None, None]) == 0).astype(
-        jnp.int32
-    )
+    # Division-free banding, robust to +-1 quotient misrounding (see
+    # ops/contour.py for the exactness argument).
+    x = web - min_e[:, None, None]
+    iv = interval[:, None, None]
+    q = jnp.floor(x.astype(jnp.float32) / iv.astype(jnp.float32))
+    r = x - q.astype(jnp.int32) * iv
+    out = ((r == 0) | (r == iv) | (r == -iv)).astype(jnp.int32)
 
     return {
         "edges-1": edges_l,
