@@ -174,23 +174,10 @@ def disparity_one_view(
     return argmin_subpixel_scan(cost_at, params.num_disparities, ref.shape)
 
 
-def _sgm_forward(
-    left: jnp.ndarray,
-    right: jnp.ndarray,
-    params: ModernParams,
-    use_pallas: bool = False,
-) -> Dict[str, jnp.ndarray]:
-    """SGM path: per-pixel costs (no window), materialized [H, W, D]
-    volume, 4-direction semi-global aggregation, volume argmin +
-    sub-pixel, right disparity via the standard volume re-projection.
-    ``use_pallas`` routes the directional recurrences through the
-    VMEM-resident kernel (ops/fused_sgm.py) — bit-identical."""
-    from stereomatching_tpu.ops.sgm import (
-        right_disparity_from_left_volume,
-        sgm_aggregate,
-        volume_argmin_subpixel,
-    )
-
+def _sgm_volume(
+    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+) -> jnp.ndarray:
+    """Per-pixel cost volume for the SGM path -> int32 [H, W, D]."""
     ref = _maybe_census(left.astype(jnp.int32), params)
     other = _maybe_census(right.astype(jnp.int32), params)
     h, w = ref.shape
@@ -205,13 +192,17 @@ def _sgm_forward(
         return pcost(ref, win)
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
-    vol = jnp.moveaxis(vol, 0, -1)  # [H, W, D]
-    if use_pallas:
-        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+    return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
-        agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
-    else:
-        agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+
+def _sgm_tail(agg: jnp.ndarray, params: ModernParams) -> Dict[str, jnp.ndarray]:
+    """Aggregated volume [H, W, D] -> the SGM result dict (argmin +
+    sub-pixel, right-view re-projection, LR validity, hole fill)."""
+    from stereomatching_tpu.ops.sgm import (
+        right_disparity_from_left_volume,
+        volume_argmin_subpixel,
+    )
+
     disp, sub, cost = volume_argmin_subpixel(agg)
     dr = right_disparity_from_left_volume(agg)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
@@ -224,6 +215,44 @@ def _sgm_forward(
         "filled": filled,
         "cost": cost,
     }
+
+
+def _sgm_forward(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """SGM path: per-pixel costs (no window), materialized [H, W, D]
+    volume, 4-direction semi-global aggregation, volume argmin +
+    sub-pixel, right disparity via the standard volume re-projection.
+    ``use_pallas`` routes the directional recurrences through the
+    VMEM-resident kernel (ops/fused_sgm.py) — bit-identical."""
+    from stereomatching_tpu.ops.sgm import sgm_aggregate
+
+    vol = _sgm_volume(left, right, params)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
+    else:
+        agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+    return _sgm_tail(agg, params)
+
+
+def _sgm_forward_batched_pallas(
+    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+) -> Dict[str, jnp.ndarray]:
+    """Batched SGM with ONE kernel dispatch per scan direction: the
+    batch rides the kernel's lane axis (sgm_aggregate_pallas), where
+    the latency-bound recurrence's per-step cost is nearly flat, so B
+    pairs cost close to one.  Volume build and the argmin/LR tail are
+    data-parallel XLA and simply vmap."""
+    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+    vol = jax.vmap(lambda l, r: _sgm_volume(l, r, params))(left, right)
+    agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
+    return jax.vmap(lambda a: _sgm_tail(a, params))(agg)
 
 
 def modern_forward(
@@ -245,13 +274,7 @@ def modern_forward(
         fn = functools.partial(_sgm_forward, params=params, use_pallas=use_pallas)
         if left.ndim == 3:
             if use_pallas:
-                # The SGM kernel is not vmappable (ANY-space volume
-                # refs); pairs run sequentially — SGM is compute-bound,
-                # batching adds no MXU utilization to recover.
-                outs = [fn(left[i], right[i]) for i in range(left.shape[0])]
-                return {
-                    key: jnp.stack([o[key] for o in outs]) for key in outs[0]
-                }
+                return _sgm_forward_batched_pallas(left, right, params)
             return jax.vmap(fn)(left, right)
         return fn(left, right)
     dl = disparity_one_view(left, right, params, "left", use_pallas)

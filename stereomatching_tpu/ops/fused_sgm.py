@@ -149,23 +149,38 @@ def sgm_directional_pallas(
 
 
 def _min_over_d(x):
-    """min over the sublane (D) axis via a halving tree of static
-    slices — D is padded to a power of two by the callers.  Avoids the
-    generic cross-sublane reduction, which Mosaic lowers poorly."""
-    n = x.shape[0]
-    while n > 1:
+    """min over the sublane (D) axis, returned PRE-BROADCAST as a full
+    [D, P] plane.  Every op is sublane-tile aligned: a halving tree of
+    static slices down to one (8, P) tile (slice offsets 8, 16, 32 ...
+    are tile multiples), then a butterfly of sublane rotations (shifts
+    4/2/1) that leaves the tile-wide min in ALL 8 sublanes, then whole-
+    tile copies back up to [D, P].  The naive tree's last three levels
+    slice at sub-tile offsets (4, 2, 1 sublanes) and a [1, P] result
+    must re-broadcast — both force Mosaic relayouts of the full plane
+    on every sequential step of this latency-bound kernel."""
+    d = x.shape[0]
+    n = d
+    while n > 8:
         n //= 2
         x = jnp.minimum(x[:n], x[n:])
+    for sh in (4, 2, 1):
+        x = jnp.minimum(x, pltpu.roll(x, sh, 0))
+    if d > 8:
+        x = jnp.concatenate([x] * (d // 8), axis=0)
     return x
 
 
 def _step_math(prev, c, p1, p2, big):
     """One recurrence step (ops/sgm._directional's body) on an int32
     [D, P] carry (int16 storage widens before calling: Mosaic has no
-    int16 min/reductions)."""
+    int16 min/reductions).  The d+-1 neighbours come from full-lattice
+    sublane rotations with an iota mask pinning the wrapped row to the
+    sentinel — bit-identical to the slice+pad form but relayout-free."""
+    d = prev.shape[0]
     m = _min_over_d(prev)
-    up = jnp.pad(prev[1:], ((0, 1), (0, 0)), constant_values=big)
-    dn = jnp.pad(prev[:-1], ((1, 0), (0, 0)), constant_values=big)
+    di = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+    up = jnp.where(di == d - 1, big, pltpu.roll(prev, d - 1, 0))
+    dn = jnp.where(di == 0, big, pltpu.roll(prev, 1, 0))
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
     return c + best - m
 
@@ -298,23 +313,31 @@ def sgm_aggregate_pallas(
     bidirectional: bool = False,
 ) -> jnp.ndarray:
     """4-direction SGM aggregation of an int32 cost volume [H, W, D]
-    -> int32 [H, W, D]; bit-identical to ops/sgm.sgm_aggregate.
+    (or a batch [B, H, W, D]) -> int32, same shape; bit-identical to
+    ops/sgm.sgm_aggregate per pair.
 
-    The default path is the unidirectional int32 kernel — verified
-    bit-identical ON CHIP (checksummed against the XLA scan) at
-    40.3 ms for 1 MP x 64 d vs ~80 ms XLA.  ``bidirectional`` (+
-    optional int16 storage via ``small_values``, which asserts
-    max cost + p2 < 16384) interleaves both scan directions in one
-    kernel; bit-exact in interpret mode but measured SLOWER on chip
-    (59.8 ms — the interleaved unrolled body apparently spills), so it
-    is opt-in (docs/ROADMAP.md)."""
+    Batches stack into the kernel's LANE axis (scan chains are
+    independent per lane, so per-pair results are unchanged bits):
+    the directional recurrence is latency-bound — per-step cost is
+    nearly flat in lane width — so B pairs per call cost close to one.
+
+    ``bidirectional`` (+ optional int16 storage via ``small_values``,
+    which asserts max cost + p2 < 16384) interleaves both scan
+    directions in one kernel; bit-exact in interpret mode but measured
+    SLOWER on chip (59.8 vs 40.3 ms — the interleaved unrolled body
+    apparently spills), so it is opt-in (docs/ROADMAP.md)."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
     if small_values and p2 >= 16384:
         small_values = False
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    b, h, w, d = vol.shape
     vol = vol.astype(jnp.int32)
-    vol_v = jnp.transpose(vol, (0, 2, 1))  # [H, D, W]: vertical scans
-    vol_h = jnp.transpose(vol, (1, 2, 0))  # [W, D, H]: horizontal scans
+    # Scan-major layouts with the batch folded into lanes.
+    vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
+    vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
 
     if bidirectional:
         run = functools.partial(
@@ -331,6 +354,9 @@ def sgm_aggregate_pallas(
         b_h = run(vol_h, reverse=True)
         f_v = run(vol_v)
         b_v = run(vol_v, reverse=True)
-    lr = f_h.astype(jnp.int32) + b_h.astype(jnp.int32)  # [W, D, H]
-    tb = f_v.astype(jnp.int32) + b_v.astype(jnp.int32)  # [H, D, W]
-    return jnp.transpose(lr, (2, 0, 1)) + jnp.transpose(tb, (0, 2, 1))
+    lr = f_h.astype(jnp.int32) + b_h.astype(jnp.int32)  # [W, D, B*H]
+    tb = f_v.astype(jnp.int32) + b_v.astype(jnp.int32)  # [H, D, B*W]
+    out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + jnp.transpose(
+        tb.reshape(h, d, b, w), (2, 0, 3, 1)
+    )
+    return out[0] if squeeze else out

@@ -151,6 +151,38 @@ class TestPallasSGM:
             np.asarray(got), np.asarray(jnp.moveaxis(ref, 1, 2))
         )
 
+    def test_batched_aggregate_matches_per_pair(self):
+        """Batches ride the kernel's lane axis; each pair's result must
+        be the same bits as running it alone."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        vols = jnp.stack(
+            [jnp.asarray(self._vol(18, 26, 9, seed=s, hi=200)) for s in range(3)]
+        )
+        got = sgm_aggregate_pallas(vols)
+        assert got.shape == vols.shape
+        for i in range(vols.shape[0]):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(sgm_aggregate_pallas(vols[i])),
+                err_msg=f"pair {i}",
+            )
+
+    def test_modern_sgm_batched_pallas_route(self):
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(9)
+        l = jnp.asarray(rng.integers(0, 256, size=(2, 16, 24)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(2, 16, 24)).astype(np.int32))
+        params = ModernParams(num_disparities=6, aggregation="sgm")
+        got = modern_forward(l, r, params, use_pallas=True)
+        for i in range(2):
+            want = modern_forward(l[i], r[i], params, use_pallas=True)
+            for key in ("disparity", "disparity_right", "valid", "cost"):
+                np.testing.assert_array_equal(
+                    np.asarray(got[key][i]), np.asarray(want[key]),
+                    err_msg=f"{key}[{i}]",
+                )
+
     def test_modern_sgm_pallas_route(self):
         from stereomatching_tpu.models.modern import modern_forward
 
