@@ -197,7 +197,6 @@ def measure(
 
     from stereomatching_tpu.config import BoundaryMode
     from stereomatching_tpu.models.classic import classic_forward_batched
-    from stereomatching_tpu.ops.contour import draw_contour
     from stereomatching_tpu.ops.edges import find_edges
     from stereomatching_tpu.ops.fused import (
         _auto_tile_rows,
@@ -290,16 +289,33 @@ def measure(
     jax.block_until_ready(winner_ins)
     del edge_ins
 
-    diff_fn = jax.jit(lambda wn: fill_web_holes_pallas(wn, params.times).sum())
+    # value_bound enables the production two-images-per-int32 packing
+    # (models/classic._fill_web_holes_auto) — the phase must measure the
+    # path the pipeline actually runs.
+    diff_fn = jax.jit(
+        lambda wn: fill_web_holes_pallas(
+            wn, params.times, value_bound=params.num_shifts + 1
+        ).sum()
+    )
     t = _time_checksum(diff_fn, winner_ins, iters)
     rows.append(verdict("diffusion", t / batch, models["diffusion"], peaks))
 
-    web_fn = jax.jit(lambda wn: fill_web_holes_pallas(wn, params.times))
-    web_ins = [(web_fn(wn),) for (wn,) in winner_ins]
+    # Production contour = banding only; the min/max reduction is folded
+    # into the diffusion kernel's epilogue (with_range).
+    web_fn = jax.jit(
+        lambda wn: fill_web_holes_pallas(
+            wn, params.times, value_bound=params.num_shifts + 1, with_range=True
+        )
+    )
+    web_ins = [web_fn(wn) for (wn,) in winner_ins]
     jax.block_until_ready(web_ins)
     del winner_ins
+    from stereomatching_tpu.ops.contour import contour_bands
+
     cont_fn = jax.jit(
-        lambda wb: jax.vmap(lambda x: draw_contour(x, params.lines)[0])(wb).sum()
+        lambda wb, mn, mx: jax.vmap(
+            lambda x, a, b: contour_bands(x, params.lines, a, b)
+        )(wb, mn, mx).sum()
     )
     t = _time_checksum(cont_fn, web_ins, iters)
     rows.append(verdict("contour", t / batch, models["contour"], peaks))

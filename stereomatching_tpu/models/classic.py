@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from stereomatching_tpu.config import StereoParams
 from stereomatching_tpu.ops.argmax import match_and_score, match_and_score_collect
-from stereomatching_tpu.ops.contour import draw_contour
+from stereomatching_tpu.ops.contour import contour_bands, draw_contour
 from stereomatching_tpu.ops.diffusion import fill_web_holes
 from stereomatching_tpu.ops.edges import find_edges
 
@@ -45,7 +45,10 @@ def classic_forward(
         best, winner, edges_l, edges_r = match_score_edges_pallas(
             left, right, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
+        web, min_e, max_e = _fill_web_holes_auto(
+            winner, params.times, params.num_shifts, with_range=True
+        )
+        out = contour_bands(web, params.lines, min_e, max_e)
     elif use_pallas:
         from stereomatching_tpu.ops.fused import match_and_score_pallas
 
@@ -54,13 +57,16 @@ def classic_forward(
         best, winner = match_and_score_pallas(
             edges_l, edges_r, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
+        web, min_e, max_e = _fill_web_holes_auto(
+            winner, params.times, params.num_shifts, with_range=True
+        )
+        out = contour_bands(web, params.lines, min_e, max_e)
     else:
         edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
         edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
         best, winner = match_and_score(edges_l, edges_r, params)
         web = fill_web_holes(winner, params.times)
-    out, min_e, max_e = draw_contour(web, params.lines)
+        out, min_e, max_e = draw_contour(web, params.lines)
     return {
         "edges-1": edges_l,
         "edges-2": edges_r,
@@ -74,14 +80,18 @@ def classic_forward(
 
 
 def _fill_web_holes_auto(
-    winner: jnp.ndarray, times: int, num_shifts: int
-) -> jnp.ndarray:
+    winner: jnp.ndarray, times: int, num_shifts: int, with_range: bool = False
+):
     """Fused Pallas diffusion (any width — lanes pad internally);
     bit-identical to the XLA scan.  The winner plane is bounded by
-    num_shifts, which lets batched calls pack two images per int32."""
+    num_shifts, which lets batched calls pack two images per int32.
+    ``with_range`` also folds each image's min/max in the kernel
+    epilogue (the contour phase's global reduction)."""
     from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
 
-    return fill_web_holes_pallas(winner, times, value_bound=num_shifts + 1)
+    return fill_web_holes_pallas(
+        winner, times, value_bound=num_shifts + 1, with_range=with_range
+    )
 
 
 def _classic_forward_batched_pallas(
@@ -100,10 +110,12 @@ def _classic_forward_batched_pallas(
         best, winner, edges_l, edges_r = match_score_edges_pallas(
             left, right, params, tile_rows=tile_rows
         )
-        web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
-        out, min_e, max_e = jax.vmap(
-            lambda wb: draw_contour(wb, params.lines)
-        )(web)
+        web, min_e, max_e = _fill_web_holes_auto(
+            winner, params.times, params.num_shifts, with_range=True
+        )
+        out = jax.vmap(
+            lambda wb, mn, mx: contour_bands(wb, params.lines, mn, mx)
+        )(web, min_e, max_e)
         return {
             "edges-1": edges_l,
             "edges-2": edges_r,
@@ -124,8 +136,12 @@ def _classic_forward_batched_pallas(
     best, winner = match_and_score_pallas(
         edges_l, edges_r, params, tile_rows=tile_rows
     )
-    web = _fill_web_holes_auto(winner, params.times, params.num_shifts)
-    out, min_e, max_e = jax.vmap(lambda wb: draw_contour(wb, params.lines))(web)
+    web, min_e, max_e = _fill_web_holes_auto(
+        winner, params.times, params.num_shifts, with_range=True
+    )
+    out = jax.vmap(
+        lambda wb, mn, mx: contour_bands(wb, params.lines, mn, mx)
+    )(web, min_e, max_e)
     return {
         "edges-1": edges_l,
         "edges-2": edges_r,

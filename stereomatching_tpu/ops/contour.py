@@ -14,10 +14,11 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
-def draw_contour(
-    web: jnp.ndarray, num_lines: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (contour int32 {0,1} [H, W], min_elevation, max_elevation).
+def contour_bands(
+    web: jnp.ndarray, num_lines: int, min_e: jnp.ndarray, max_e: jnp.ndarray
+) -> jnp.ndarray:
+    """Elementwise banding pass given a precomputed elevation range ->
+    contour int32 {0,1}, same shape as ``web``.
 
     The ``% interval == 0`` test is evaluated division-free: integer
     modulo has no VPU hardware path (the roofline showed the banding
@@ -30,11 +31,20 @@ def draw_contour(
     maps to r in {r'-interval, r', r'+interval}; r' == 0 iff r is a
     multiple of interval in that window).
     """
-    max_e = web.max()
-    min_e = web.min()
     interval = jnp.maximum((max_e - min_e) // num_lines, 1)
     x = web - min_e
     q = jnp.floor(x.astype(jnp.float32) / interval.astype(jnp.float32))
     r = x - q.astype(jnp.int32) * interval
-    out = ((r == 0) | (r == interval) | (r == -interval)).astype(jnp.int32)
-    return out, min_e, max_e
+    return ((r == 0) | (r == interval) | (r == -interval)).astype(jnp.int32)
+
+
+def draw_contour(
+    web: jnp.ndarray, num_lines: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (contour int32 {0,1} [H, W], min_elevation, max_elevation).
+    The per-plane reduction here is the fallback; the fused diffusion
+    kernel can fold min/max in its epilogue (fill_web_holes_pallas
+    ``with_range``) so only contour_bands remains."""
+    max_e = web.max()
+    min_e = web.min()
+    return contour_bands(web, num_lines, min_e, max_e), min_e, max_e

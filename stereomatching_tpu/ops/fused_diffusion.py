@@ -38,6 +38,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fold_tile(x, op):
+    """Reduce a [rows, width] plane (rows % 8 == 0, width % 128 == 0)
+    to one [8, 128] tile with ``op`` over whole-tile static slices —
+    no sub-tile offsets, no cross-lane reductions."""
+    acc = x[0:8]
+    for k in range(1, x.shape[0] // 8):
+        acc = op(acc, x[8 * k : 8 * (k + 1)])
+    out = acc[:, 0:128]
+    for k in range(1, acc.shape[1] // 128):
+        out = op(out, acc[:, 128 * k : 128 * (k + 1)])
+    return out
+
+
 def _kernel(
     w_hbm,
     out_ref,
@@ -52,6 +65,10 @@ def _kernel(
     steps: int,
     chains: int,
     packed: bool,
+    min_ref=None,     # with_range: [1, 8, 128] per-image min fold
+    max_ref=None,
+    min_acc=None,     # [2, 8, 128] scratch (field 0 = hi/full, 1 = lo)
+    max_acc=None,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -138,10 +155,54 @@ def _kernel(
 
     init = tuple((x0, x0) for x0 in x0s)
     final = jax.lax.fori_loop(0, steps, one_step, init)
+    with_range = min_ref is not None
+    if with_range:
+        # Fill values: for packed 16-bit fields the min fill must stay
+        # below the field boundary (values < 2^14 <= 0x3FFF; max fill 0
+        # is safe, fields are non-negative); unpacked uses +-2^30.
+        fill_min = jnp.int32(0x3FFF if packed else 2**30)
+        fill_max = jnp.int32(0 if packed else -(2**30))
+
+        @pl.when(i == 0)
+        def _():
+            min_acc[...] = jnp.full(min_acc.shape, fill_min, jnp.int32)
+            max_acc[...] = jnp.full(max_acc.shape, fill_max, jnp.int32)
+
+        rt = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0)
+        lt = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
     for c in range(chains):
-        out_ref[0, c * tile_rows : (c + 1) * tile_rows, :] = final[c][1][
-            halo : halo + tile_rows, :
-        ]
+        y = final[c][1][halo : halo + tile_rows, :]
+        out_ref[0, c * tile_rows : (c + 1) * tile_rows, :] = y
+        if with_range:
+            # Per-image min/max folded into an [8, 128] accumulator —
+            # contour rendering then needs only the elementwise banding
+            # pass (the per-plane reduction was 27x off its HBM bound
+            # as a standalone XLA phase).
+            g0 = (i * chains + c) * tile_rows
+            valid = ((rt + g0) < height) & (lt < img_w)
+            fields = [(y >> 16), (y & 0xFFFF)] if packed else [y]
+            for fi, f in enumerate(fields):
+                min_acc[fi] = jnp.minimum(
+                    min_acc[fi], _fold_tile(jnp.where(valid, f, fill_min), jnp.minimum)
+                )
+                max_acc[fi] = jnp.maximum(
+                    max_acc[fi], _fold_tile(jnp.where(valid, f, fill_max), jnp.maximum)
+                )
+    if with_range:
+        if packed:
+            min_ref[0] = (min_acc[0] << 16) | min_acc[1]
+            max_ref[0] = (max_acc[0] << 16) | max_acc[1]
+        else:
+            min_ref[0] = min_acc[0]
+            max_ref[0] = max_acc[0]
+
+
+def _kernel_range(w_hbm, out_ref, min_ref, max_ref, w_vmem, sems, min_acc,
+                  max_acc, **kw):
+    """Ref-order adapter: pallas passes outputs then scratches
+    positionally; _kernel takes the range refs as keywords."""
+    _kernel(w_hbm, out_ref, w_vmem, sems, min_ref=min_ref, max_ref=max_ref,
+            min_acc=min_acc, max_acc=max_acc, **kw)
 
 
 def fill_web_holes_pallas(
@@ -151,7 +212,8 @@ def fill_web_holes_pallas(
     interpret: Optional[bool] = None,
     value_bound: Optional[int] = None,
     _packed_fields: bool = False,
-) -> jnp.ndarray:
+    with_range: bool = False,
+):
     """Fused diffusion -> int32, same shape as ``web`` ([H, W] or
     [B, H, W]).  Any width (lanes pad to the 128 tile internally).
 
@@ -160,7 +222,12 @@ def fill_web_holes_pallas(
     num_shifts).  When it fits 14 bits, batched inputs pack TWO images
     into each int32 plane (16+16 bit fields) so every roll and DMA of
     this roll-throughput-bound kernel serves two images — bit-exact,
-    because per-field sums stay below the field boundary."""
+    because per-field sums stay below the field boundary.
+
+    ``with_range``: also return (min, max) of each output image
+    ([bsz] int32, scalars for 2-D input) — the global reduction the
+    contour phase needs, folded in the kernel's epilogue while the web
+    tile is still in VMEM."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     steps = max(times - 1, 0)
@@ -171,6 +238,9 @@ def fill_web_holes_pallas(
     wp = _round_up(w, 128)
     if steps == 0:
         out = web.astype(jnp.int32)
+        if with_range:
+            mn, mx = out.min(axis=(1, 2)), out.max(axis=(1, 2))
+            return (out[0], mn[0], mx[0]) if squeeze else (out, mn, mx)
         return out[0] if squeeze else out
 
     packed = (
@@ -186,10 +256,24 @@ def fill_web_holes_pallas(
         hi, lo = web32[0::2], web32[1::2]
         inner = fill_web_holes_pallas(
             (hi << 16) | lo, times, tile_rows, interpret, value_bound=None,
-            _packed_fields=True,
+            _packed_fields=True, with_range=with_range,
         )
+        if with_range:
+            inner, mnp, mxp = inner
         out = jnp.stack([inner >> 16, inner & 0xFFFF], axis=1)
         out = out.reshape(-1, h, w)[:bsz]
+        if with_range:
+            # Field-wise tile reductions, interleaved back to batch
+            # order (image 2k rode the hi field of plane k).
+            mn = jnp.stack(
+                [(mnp >> 16).min(axis=(1, 2)), (mnp & 0xFFFF).min(axis=(1, 2))],
+                axis=1,
+            ).reshape(-1)[:bsz]
+            mx = jnp.stack(
+                [(mxp >> 16).max(axis=(1, 2)), (mxp & 0xFFFF).max(axis=(1, 2))],
+                axis=1,
+            ).reshape(-1)[:bsz]
+            return out, mn, mx
         return out
 
     halo = _round_up(steps, 4)
@@ -216,8 +300,7 @@ def fill_web_holes_pallas(
     )
     n_super = hp // super_rows
 
-    kernel = functools.partial(
-        _kernel,
+    static = dict(
         tile_rows=tile_rows,
         halo=halo,
         width=wp,
@@ -227,21 +310,50 @@ def fill_web_holes_pallas(
         chains=chains,
         packed=_packed_fields,
     )
-    out = pl.pallas_call(
-        kernel,
+    web_spec = pl.BlockSpec(
+        (1, super_rows, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((super_rows + 2 * halo, wp), jnp.int32),
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    common = dict(
         grid=(bsz, n_super),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, super_rows, wp), lambda b, i: (b, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((super_rows + 2 * halo, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
+    )
+    if with_range:
+        acc_spec = pl.BlockSpec(
+            (1, 8, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out, mn, mx = pl.pallas_call(
+            functools.partial(_kernel_range, **static),
+            out_specs=(web_spec, acc_spec, acc_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((bsz, hp, wp), jnp.int32),
+                jax.ShapeDtypeStruct((bsz, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((bsz, 8, 128), jnp.int32),
+            ),
+            scratch_shapes=scratch
+            + [
+                pltpu.VMEM((2, 8, 128), jnp.int32),
+                pltpu.VMEM((2, 8, 128), jnp.int32),
+            ],
+            **common,
+        )(w_pad)
+        out = out[:, :h, :w]
+        if _packed_fields:
+            return out, mn, mx  # field tiles; the packed caller unpacks
+        mn = mn.min(axis=(1, 2))
+        mx = mx.max(axis=(1, 2))
+        return (out[0], mn[0], mx[0]) if squeeze else (out, mn, mx)
+    out = pl.pallas_call(
+        functools.partial(_kernel, **static),
+        out_specs=web_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.int32),
+        scratch_shapes=scratch,
+        **common,
     )(w_pad)
     out = out[:, :h, :w]
     return out[0] if squeeze else out

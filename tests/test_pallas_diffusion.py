@@ -76,3 +76,32 @@ def test_packed_bound_too_large_falls_back():
     want = fill_web_holes_pallas(webs, 6, tile_rows=8)
     got = fill_web_holes_pallas(webs, 6, tile_rows=8, value_bound=1 << 15)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("bsz,packed", [(1, False), (3, True), (4, True),
+                                        (2, False)])
+def test_with_range_matches_min_max(bsz, packed):
+    """The epilogue-folded min/max must equal jnp.min/max of the output
+    web, packed (two images per int32) or not."""
+    webs = np.stack([_web(40, 200, 100 + s, max_v=29) for s in range(bsz)])
+    kw = {"value_bound": 30} if packed else {}
+    got = fill_web_holes_pallas(webs, 6, tile_rows=16, with_range=True, **kw)
+    web, mn, mx = got
+    want = fill_web_holes_pallas(webs, 6, tile_rows=16, **kw)
+    np.testing.assert_array_equal(np.asarray(web), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(mn), np.asarray(want).min(axis=(1, 2)))
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(want).max(axis=(1, 2)))
+
+
+def test_with_range_single_image_scalars():
+    web = _web(24, 128, 77)
+    out, mn, mx = fill_web_holes_pallas(web, 5, tile_rows=8, with_range=True)
+    want = np.asarray(fill_web_holes_pallas(web, 5, tile_rows=8))
+    assert np.asarray(mn).shape == () and np.asarray(mx).shape == ()
+    assert int(mn) == want.min() and int(mx) == want.max()
+
+
+def test_with_range_times_one():
+    web = _web(16, 128, 3)
+    out, mn, mx = fill_web_holes_pallas(web, 1, with_range=True)
+    assert int(mn) == web.min() and int(mx) == web.max()
