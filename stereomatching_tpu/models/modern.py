@@ -234,10 +234,29 @@ def _sgm_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-        agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
+        agg = sgm_aggregate_pallas(
+            vol, params.sgm_p1, params.sgm_p2,
+            small_values=_sgm_fits_int16(params),
+        )
     else:
         agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     return _sgm_tail(agg, params)
+
+
+def _sgm_cost_bound(params: ModernParams) -> int:
+    """Static per-pixel cost ceiling of the SGM volume: census Hamming
+    distance is at most the code's bit count (window^2 - 1 neighbour
+    bits), SAD on 8-bit intensities at most 255."""
+    if params.cost == "census":
+        return params.census_window * params.census_window - 1
+    return 255
+
+
+def _sgm_fits_int16(params: ModernParams) -> bool:
+    """Whether the directional recurrence values fit int16 STORAGE:
+    L <= max_cost + p2 (the standard SGM bound), and the kernel's 16384
+    padding sentinel must never win a min (ops/fused_sgm.py)."""
+    return _sgm_cost_bound(params) + params.sgm_p2 < 16384
 
 
 def _sgm_forward_batched_pallas(
@@ -251,7 +270,10 @@ def _sgm_forward_batched_pallas(
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
     vol = jax.vmap(lambda l, r: _sgm_volume(l, r, params))(left, right)
-    agg = sgm_aggregate_pallas(vol, params.sgm_p1, params.sgm_p2)
+    agg = sgm_aggregate_pallas(
+        vol, params.sgm_p1, params.sgm_p2,
+        small_values=_sgm_fits_int16(params),
+    )
     return jax.vmap(lambda a: _sgm_tail(a, params))(agg)
 
 

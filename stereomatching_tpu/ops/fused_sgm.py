@@ -64,20 +64,27 @@ def _kernel(
     idx = (lambda j: xc - 1 - j) if reverse else (lambda j: j)
     init_strip = init_step // xc
     init_j = init_step % xc
+    io_dt = out_ref.dtype
+    narrow = io_dt == jnp.int16
 
     def run(init_at):
         # init_at: column index (within the strip, processing order)
         # up to which the carry just copies the input; None = pure
         # recurrence; "all" = every column copies (pad-only strip).
-        cv = carry[...]
+        # int16 is a STORAGE format: strips and the cross-strip carry
+        # narrow losslessly (values < 2^15 by the int16-input contract);
+        # the in-strip recurrence value stays int32.
+        cv = carry[...].astype(jnp.int32) if narrow else carry[...]
         for j in range(xc):
             c = vol_ref[idx(j)]
+            if narrow:
+                c = c.astype(jnp.int32)
             if init_at == "all" or (init_at is not None and j <= init_at):
                 cv = c
             else:
                 cv = _step_math(cv, c, p1, p2, _BIG)
-            out_ref[idx(j)] = cv
-        carry[...] = cv
+            out_ref[idx(j)] = cv.astype(io_dt) if narrow else cv
+        carry[...] = cv.astype(io_dt) if narrow else cv
 
     @pl.when(s == init_strip)
     def _():
@@ -103,23 +110,31 @@ def sgm_directional_pallas(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
-    [S, D, P] int32.  ``reverse`` scans from S-1 down to 0."""
+    [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
+
+    int16 input selects int16 strip/carry STORAGE (half the DMA
+    traffic; arithmetic still int32 in-VMEM) — exact and bit-identical
+    to the int32 path whenever max_cost + p2 < 16384, so the 16384
+    padding sentinel never wins a min (caller contract)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s, d, p = vol.shape
-    dp = max(8, 1 << (d - 1).bit_length())  # pow2 for the min tree
+    io16 = vol.dtype == jnp.int16
+    io_dt = jnp.int16 if io16 else jnp.int32
+    big_pad = 16384 if io16 else _BIG
+    dp = max(16 if io16 else 8, 1 << (d - 1).bit_length())  # pow2 min tree
     pp = _round_up(p, 128)
     # Strip size: keep in+out double buffers within ~32 MB of VMEM
     # (vmem_limit_bytes below raises the compiler's 16 MB default;
     # fewer, larger strips amortize per-grid-step overhead in this
     # latency-bound scan).
-    bytes_per_col = dp * pp * 4
+    bytes_per_col = dp * pp * (2 if io16 else 4)
     xc = max(1, min(strip, (32 << 20) // (4 * bytes_per_col)))
     sp = _round_up(s, xc)
     vol_pad = jnp.pad(
-        vol.astype(jnp.int32),
+        vol.astype(io_dt),
         ((0, sp - s), (0, dp - d), (0, pp - p)),
-        constant_values=_BIG,
+        constant_values=big_pad,
     )
     # Re-pad the (S, P) padding with zeros is unnecessary: padded D rows
     # hold _BIG (never win), padded P lanes and S columns are sliced off.
@@ -140,8 +155,8 @@ def sgm_directional_pallas(
             pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((sp, dp, pp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((dp, pp), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((sp, dp, pp), io_dt),
+        scratch_shapes=[pltpu.VMEM((dp, pp), io_dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
     )(vol_pad)
@@ -321,11 +336,15 @@ def sgm_aggregate_pallas(
     the directional recurrence is latency-bound — per-step cost is
     nearly flat in lane width — so B pairs per call cost close to one.
 
-    ``bidirectional`` (+ optional int16 storage via ``small_values``,
-    which asserts max cost + p2 < 16384) interleaves both scan
-    directions in one kernel; bit-exact in interpret mode but measured
-    SLOWER on chip (59.8 vs 40.3 ms — the interleaved unrolled body
-    apparently spills), so it is opt-in (docs/ROADMAP.md)."""
+    ``small_values`` (caller asserts max cost + p2 < 16384) selects
+    int16 STORAGE for the directional passes — half the HBM/DMA traffic
+    of this bandwidth-heavy stage; arithmetic stays int32 in VMEM, so
+    results are bit-identical to the int32 path.
+
+    ``bidirectional`` interleaves both scan directions in one kernel;
+    bit-exact in interpret mode but measured SLOWER on chip (59.8 vs
+    40.3 ms — the interleaved unrolled body apparently spills), so it
+    is opt-in (docs/ROADMAP.md)."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
     if small_values and p2 >= 16384:
@@ -334,7 +353,7 @@ def sgm_aggregate_pallas(
     if squeeze:
         vol = vol[None]
     b, h, w, d = vol.shape
-    vol = vol.astype(jnp.int32)
+    vol = vol.astype(jnp.int16 if small_values else jnp.int32)
     # Scan-major layouts with the batch folded into lanes.
     vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
     vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)

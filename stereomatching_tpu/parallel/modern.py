@@ -352,14 +352,21 @@ def _sgm_shard_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
 
+        from stereomatching_tpu.models.modern import _sgm_fits_int16
+
         # Scan-major [W, D, bl*hs]: the batch and local rows are
         # independent scan lanes, so folding them into P keeps the
-        # kernel's per-step vector work wide.
-        vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d_count, bl * hs)
+        # kernel's per-step vector work wide.  int16 storage (when the
+        # recurrence bound fits) halves the kernel's DMA traffic;
+        # arithmetic stays int32, results bit-identical.
+        sdt = jnp.int16 if _sgm_fits_int16(params) else jnp.int32
+        vol_h = (
+            jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d_count, bl * hs)
+        ).astype(sdt)
         f_h = sgm_directional_pallas(vol_h, p1, p2)
         b_h = sgm_directional_pallas(vol_h, p1, p2, reverse=True)
         unfold = lambda x: jnp.transpose(  # noqa: E731
-            x.reshape(w, d_count, bl, hs), (2, 3, 0, 1)
+            x.astype(jnp.int32).reshape(w, d_count, bl, hs), (2, 3, 0, 1)
         )
         lr_pass, rl_pass = unfold(f_h), unfold(b_h)
     else:

@@ -167,6 +167,22 @@ class TestPallasSGM:
                 err_msg=f"pair {i}",
             )
 
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_directional_int16_storage_bit_identical(self, reverse):
+        """int16 input selects int16 strip/carry storage; outputs (after
+        widening) must be the same bits as the int32 path."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(11)
+        vol = rng.integers(0, 300, size=(15, 10, 140)).astype(np.int32)
+        want = sgm_directional_pallas(jnp.asarray(vol), 8, 96, reverse=reverse,
+                                      strip=4)
+        got = sgm_directional_pallas(jnp.asarray(vol.astype(np.int16)), 8, 96,
+                                     reverse=reverse, strip=4)
+        assert got.dtype == jnp.int16
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.int32),
+                                      np.asarray(want))
+
     def test_modern_sgm_batched_pallas_route(self):
         from stereomatching_tpu.models.modern import modern_forward
 
