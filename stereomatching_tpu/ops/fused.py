@@ -709,10 +709,19 @@ def _kernel_from_brightness(
     cp_l.wait()
     cp_r.wait()
 
+    def widen(tile):
+        # int16 is a STORAGE format: widen once per tile; the ghost
+        # fill sentinel -32768 maps back to the reference's k = 32768
+        # (128.0 halo brightness) — real k values are never negative.
+        if tile.dtype == jnp.int32:
+            return tile
+        t = tile.astype(jnp.int32)
+        return jnp.where(t < 0, jnp.int32(32768), t)
+
     # Lane j holds image column x0 + j - half - 1; padded row r holds
     # image row i*tile_rows + r - pad_half.
-    el_full = _edges_exact_tile(l_vmem[:], threshold)
-    er_full = _edges_exact_tile(r_vmem[:], threshold)
+    el_full = _edges_exact_tile(widen(l_vmem[:]), threshold)
+    er_full = _edges_exact_tile(widen(r_vmem[:]), threshold)
 
     if ghost:
         # Ghost boundary semantics at the EDGE level (matching _prepare):
@@ -756,18 +765,25 @@ def _prepare_k(
     pad_half: int,
     lw_l: int,
     lw_r: int,
+    narrow: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pad integer brightness planes (k = round(b*256)) for the fused-
     edges kernel: row y at padded row y + pad_half, column x at lane
     x + half + 1 (one extra lane per side for the edge stencil).  Wrap
     mode wraps; ghost mode fills with the reference's 128.0 halo
-    brightness == k 32768 (src/stereo-ghost.c:384-385)."""
+    brightness == k 32768 (src/stereo-ghost.c:384-385).
+
+    ``narrow`` stores int16 (half the pad pass's HBM traffic and half
+    the kernel's input DMA).  Real k values are 0..255; the ghost fill
+    32768 does not fit int16, so it is stored as the sentinel -32768
+    and mapped back to 32768 by the kernel after widening — bit-exact."""
     h, w = left.shape[-2:]
     half = params.half
     hp = _round_up(h, tile_rows)
     nb = left.ndim - 2
-    kl = jnp.round(left * jnp.asarray(256.0, left.dtype)).astype(jnp.int32)
-    kr = jnp.round(right * jnp.asarray(256.0, right.dtype)).astype(jnp.int32)
+    dt = jnp.int16 if narrow else jnp.int32
+    kl = jnp.round(left * jnp.asarray(256.0, left.dtype)).astype(dt)
+    kr = jnp.round(right * jnp.asarray(256.0, right.dtype)).astype(dt)
     if params.mode == BoundaryMode.WRAP:
         ys = jnp.arange(-pad_half, hp + pad_half) % h
         xs_l = jnp.arange(-half - 1, -half - 1 + lw_l) % w
@@ -775,7 +791,9 @@ def _prepare_k(
         l_pad = kl[..., ys, :][..., :, xs_l]
         r_pad = kr[..., ys, :][..., :, xs_r]
     else:
-        fill = 128 * 256  # round(GHOST_BRIGHTNESS_FILL * 256)
+        # round(GHOST_BRIGHTNESS_FILL * 256); int16 sentinel widens to
+        # -32768 < 0, which _kernel_from_brightness maps back.
+        fill = -32768 if narrow else 128 * 256
         bpad = [(0, 0)] * nb
         l_pad = jnp.pad(
             kl,
@@ -801,6 +819,7 @@ def match_score_edges_pallas(
     row_mode: str = "chunked",
     x_tile: int | None = None,
     shift_unroll: int = 2,
+    input_storage: str = "int16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-kernel classic phases 1-2: brightness in, (best_scores,
     winning_shifts, edges_l, edges_r) out — the edge stencil runs
@@ -808,7 +827,12 @@ def match_score_edges_pallas(
     maps never round-trip HBM between phases.  Requires
     edge_rule="exact" (the bit-deterministic integer rule; the
     "reference" float rule keeps the two-pass path).  [H, W] or
-    [B, H, W] brightness in [0, 1)."""
+    [B, H, W] brightness in [0, 1).
+
+    ``input_storage``: "int16" (default) stores the padded brightness
+    planes narrow — half the prep pass's HBM writes and half the
+    kernel's input DMA; arithmetic widens to int32 in VMEM, bit-exact
+    (see _prepare_k).  "int32" keeps the round-1 layout."""
     if params.edge_rule != "exact":
         raise ValueError(
             "match_score_edges_pallas requires edge_rule='exact'"
@@ -840,12 +864,21 @@ def match_score_edges_pallas(
     lw_l = (n_x - 1) * wt + bw_l
     lw_r = (n_x - 1) * wt + bw_r
 
+    if input_storage not in ("int16", "int32"):
+        raise ValueError(f"input_storage must be int16 or int32, got "
+                         f"{input_storage!r}")
+    narrow = input_storage == "int16"
+    # int16 DMA slices need (16, 128)-tile alignment (vs (8, 128) for
+    # int32): round the row-tile geometry up accordingly.
+    align = 16 if narrow else 8
     if tile_rows is None:
         tile_rows = _auto_tile_rows(wt, half, d, batch=bsz)
-    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
-    pad_half = _round_up(half + 1, 4)  # edge stencil adds 1 row of reach
+    tile_rows = max(align,
+                    min(_round_up(tile_rows, align), _round_up(h, align)))
+    # Edge stencil adds 1 row of reach on top of the box halo.
+    pad_half = _round_up(half + 1, align // 2)
     l_pad, r_pad, hp = _prepare_k(
-        left, right, params, tile_rows, pad_half, lw_l, lw_r
+        left, right, params, tile_rows, pad_half, lw_l, lw_r, narrow=narrow
     )
     n_tiles = hp // tile_rows
     kernel = functools.partial(
@@ -879,8 +912,8 @@ def match_score_edges_pallas(
             jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32)
         ] * 4,
         scratch_shapes=[
-            pltpu.VMEM((rows, bw_l), jnp.int32),
-            pltpu.VMEM((rows, bw_r), jnp.int32),
+            pltpu.VMEM((rows, bw_l), l_pad.dtype),
+            pltpu.VMEM((rows, bw_r), r_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         # The default 16 MB scoped-vmem limit is a compiler default, not

@@ -184,6 +184,25 @@ def test_fused_edges_kernel_matches_oracle(mode, sw, d):
     np.testing.assert_array_equal(np.asarray(winner), want_winner)
 
 
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+def test_fused_edges_kernel_int16_storage_bit_identical(mode):
+    """input_storage="int16" (narrow padded planes + in-kernel widening,
+    ghost fill via the -32768 sentinel) must be the same bits as the
+    int32 layout."""
+    from stereomatching_tpu.ops.fused import match_score_edges_pallas
+
+    params = StereoParams(square_width=9, num_shifts=8, mode=mode,
+                          edge_rule="exact")
+    left, right = synthetic_pair(h=48, w=64, seed=22)
+    lb = to_brightness(left).astype(np.float32)
+    rb = to_brightness(right).astype(np.float32)
+    want = match_score_edges_pallas(lb, rb, params, input_storage="int32")
+    got = match_score_edges_pallas(lb, rb, params, input_storage="int16")
+    for w_, g_, name in zip(want, got, ("best", "winner", "el", "er")):
+        np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_),
+                                      err_msg=name)
+
+
 def test_fused_edges_kernel_batched_and_x_tiled():
     from stereomatching_tpu.ops.fused import (
         match_and_score_pallas,

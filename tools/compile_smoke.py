@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Mosaic lowering smoke: AOT-compile every production Pallas kernel
+variant on the CURRENT backend and report ok/fail per variant.
+
+Interpret mode (the CI tier) accepts programs the Mosaic compiler
+rejects (int16 min/reductions, sub-32-bit rotates, unprovable DMA
+alignment...), and a failed remote compile reports in ~30 s while a
+successful one can take 15-40 min — so run this after touching any
+kernel: all failures surface in one cheap pass, and every success
+pre-warms the persistent compile cache for bench.py.
+
+Usage: tools/compile_smoke.py [name ...]   (default: all)
+Exit status = number of failures.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.config import BoundaryMode, StereoParams
+    from stereomatching_tpu.models.modern import ModernParams
+
+    # Tiny-but-aligned shapes: two row tiles, one lane tile, a few
+    # shifts — enough to exercise every lowering path (DMA alignment,
+    # rolls, matmuls, dtype legalization) without a long unrolled body.
+    H, W, D = 64, 128, 8
+    rng = np.random.default_rng(0)
+    lb = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    rb = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    edges = jnp.asarray(rng.integers(0, 2, (H, W)).astype(np.int32))
+    web = jnp.asarray(rng.integers(0, D + 1, (2, H, W)).astype(np.int32))
+    vol32 = jnp.asarray(rng.integers(0, 81, (H, W, D)).astype(np.int32))
+    gray = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.int32))
+
+    cp = StereoParams(num_shifts=D, square_width=9, edge_rule="exact")
+    cpw = StereoParams(num_shifts=D, square_width=9, edge_rule="exact",
+                       mode=BoundaryMode.WRAP)
+
+    def classic_single(storage):
+        from stereomatching_tpu.ops.fused import match_score_edges_pallas
+        return lambda: match_score_edges_pallas(
+            lb, rb, cp, interpret=False, input_storage=storage)
+
+    def classic_wrap():
+        from stereomatching_tpu.ops.fused import match_score_edges_pallas
+        return match_score_edges_pallas(lb, rb, cpw, interpret=False)
+
+    def classic_edges_in():
+        from stereomatching_tpu.ops.fused import match_and_score_pallas
+        return match_and_score_pallas(edges, edges, cp, interpret=False)
+
+    def diffusion(with_range):
+        from stereomatching_tpu.ops.fused_diffusion import fill_web_holes_pallas
+        return lambda: fill_web_holes_pallas(
+            web, 4, interpret=False, value_bound=D + 1, with_range=with_range)
+
+    def sgm(dtype, reverse):
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.transpose(vol32, (1, 2, 0)).astype(dtype)
+        return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
+                                              interpret=False)
+
+    def modern(cost):
+        from stereomatching_tpu.models.modern import _maybe_census
+        from stereomatching_tpu.ops.fused_modern import disparity_pallas
+        mp = ModernParams(num_disparities=D, window=5, cost=cost)
+
+        def run():
+            ref = _maybe_census(gray, mp)
+            other = _maybe_census(gray, mp)
+            return disparity_pallas(ref, other, mp, interpret=False)
+
+        return run
+
+    variants = {
+        "classic-int16": classic_single("int16"),
+        "classic-int32": classic_single("int32"),
+        "classic-wrap": lambda: classic_wrap(),
+        "classic-edges-in": lambda: classic_edges_in(),
+        "diffusion": diffusion(False),
+        "diffusion-range": diffusion(True),
+        "sgm-int32-fwd": sgm(jnp.int32, False),
+        "sgm-int32-rev": sgm(jnp.int32, True),
+        "sgm-int16-fwd": sgm(jnp.int16, False),
+        "sgm-int16-rev": sgm(jnp.int16, True),
+        "modern-sad": modern("sad"),
+        "modern-census": modern("census"),
+    }
+    picked = sys.argv[1:] or list(variants)
+    failures = 0
+    print(f"backend: {jax.default_backend()}", flush=True)
+    for name in picked:
+        fn = variants[name]
+        t0 = time.time()
+        try:
+            jax.jit(fn).lower().compile()
+            print(f"OK   {name} ({time.time()-t0:.0f}s)", flush=True)
+        except Exception:
+            failures += 1
+            tb = traceback.format_exc().strip().splitlines()
+            print(f"FAIL {name} ({time.time()-t0:.0f}s): {tb[-1]}", flush=True)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
