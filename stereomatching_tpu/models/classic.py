@@ -31,6 +31,7 @@ def classic_forward(
     params: StereoParams,
     use_pallas: bool = False,
     tile_rows: int | None = None,
+    subpixel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full pipeline on one brightness pair [H, W] -> artifact dict.
     Trace-time params; wrap in jit via ``build_classic_pipeline``.
@@ -38,12 +39,19 @@ def classic_forward(
     Pallas kernel (ops/fused.py) instead of the XLA scan — with the
     "exact" edge rule the edge stencil runs inside the same kernel
     (brightness in, no edge-map HBM round trips); ``tile_rows``
-    overrides the kernel's batch-aware auto tiling."""
+    overrides the kernel's batch-aware auto tiling.
+
+    ``subpixel`` (opt-in extension beyond the reference) adds a
+    float32 "subpixel" artifact: the winning shift parabola-refined on
+    its neighbor scores (ops/argmax.match_and_score_subpixel; carried
+    through the fused kernel on the Pallas tiers).  All reference
+    artifacts stay bit-identical."""
+    sub = None
     if use_pallas and params.edge_rule == "exact":
         from stereomatching_tpu.ops.fused import match_score_edges_pallas
 
-        best, winner, edges_l, edges_r = match_score_edges_pallas(
-            left, right, params, tile_rows=tile_rows
+        best, winner, edges_l, edges_r, *sub = match_score_edges_pallas(
+            left, right, params, tile_rows=tile_rows, subpixel=subpixel
         )
         web, min_e, max_e = _fill_web_holes_auto(
             winner, params.times, params.num_shifts, with_range=True
@@ -54,8 +62,8 @@ def classic_forward(
 
         edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
         edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
-        best, winner = match_and_score_pallas(
-            edges_l, edges_r, params, tile_rows=tile_rows
+        best, winner, *sub = match_and_score_pallas(
+            edges_l, edges_r, params, tile_rows=tile_rows, subpixel=subpixel
         )
         web, min_e, max_e = _fill_web_holes_auto(
             winner, params.times, params.num_shifts, with_range=True
@@ -64,10 +72,16 @@ def classic_forward(
     else:
         edges_l = find_edges(left, params.threshold, params.mode, params.edge_rule)
         edges_r = find_edges(right, params.threshold, params.mode, params.edge_rule)
-        best, winner = match_and_score(edges_l, edges_r, params)
+        if subpixel:
+            from stereomatching_tpu.ops.argmax import match_and_score_subpixel
+
+            best, winner, s = match_and_score_subpixel(edges_l, edges_r, params)
+            sub = [s]
+        else:
+            best, winner = match_and_score(edges_l, edges_r, params)
         web = fill_web_holes(winner, params.times)
         out, min_e, max_e = draw_contour(web, params.lines)
-    return {
+    res = {
         "edges-1": edges_l,
         "edges-2": edges_r,
         "score_best": best,
@@ -77,6 +91,9 @@ def classic_forward(
         "min_elevation": min_e,
         "max_elevation": max_e,
     }
+    if subpixel:
+        res["subpixel"] = sub[0]
+    return res
 
 
 def _fill_web_holes_auto(
@@ -99,6 +116,7 @@ def _classic_forward_batched_pallas(
     right: jnp.ndarray,
     params: StereoParams,
     tile_rows: int | None = None,
+    subpixel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched pipeline routed through the Pallas kernels.  The kernels
     take the batch as a grid dimension (they cannot be vmapped: Mosaic
@@ -107,42 +125,28 @@ def _classic_forward_batched_pallas(
     if params.edge_rule == "exact":
         from stereomatching_tpu.ops.fused import match_score_edges_pallas
 
-        best, winner, edges_l, edges_r = match_score_edges_pallas(
-            left, right, params, tile_rows=tile_rows
+        best, winner, edges_l, edges_r, *sub = match_score_edges_pallas(
+            left, right, params, tile_rows=tile_rows, subpixel=subpixel
         )
-        web, min_e, max_e = _fill_web_holes_auto(
-            winner, params.times, params.num_shifts, with_range=True
-        )
-        out = jax.vmap(
-            lambda wb, mn, mx: contour_bands(wb, params.lines, mn, mx)
-        )(web, min_e, max_e)
-        return {
-            "edges-1": edges_l,
-            "edges-2": edges_r,
-            "score_best": best,
-            "web-1": winner,
-            "web-2": web,
-            "output-0": out,
-            "min_elevation": min_e,
-            "max_elevation": max_e,
-        }
-    from stereomatching_tpu.ops.fused import match_and_score_pallas
+    else:
+        from stereomatching_tpu.ops.fused import match_and_score_pallas
 
-    ef = jax.vmap(
-        lambda x: find_edges(x, params.threshold, params.mode, params.edge_rule)
-    )
-    edges_l = ef(left)
-    edges_r = ef(right)
-    best, winner = match_and_score_pallas(
-        edges_l, edges_r, params, tile_rows=tile_rows
-    )
+        ef = jax.vmap(
+            lambda x: find_edges(x, params.threshold, params.mode,
+                                 params.edge_rule)
+        )
+        edges_l = ef(left)
+        edges_r = ef(right)
+        best, winner, *sub = match_and_score_pallas(
+            edges_l, edges_r, params, tile_rows=tile_rows, subpixel=subpixel
+        )
     web, min_e, max_e = _fill_web_holes_auto(
         winner, params.times, params.num_shifts, with_range=True
     )
     out = jax.vmap(
         lambda wb, mn, mx: contour_bands(wb, params.lines, mn, mx)
     )(web, min_e, max_e)
-    return {
+    res = {
         "edges-1": edges_l,
         "edges-2": edges_r,
         "score_best": best,
@@ -152,6 +156,9 @@ def _classic_forward_batched_pallas(
         "min_elevation": min_e,
         "max_elevation": max_e,
     }
+    if subpixel:
+        res["subpixel"] = sub[0]
+    return res
 
 
 def classic_forward_batched(
@@ -160,11 +167,15 @@ def classic_forward_batched(
     params: StereoParams,
     use_pallas: bool = False,
     tile_rows: int | None = None,
+    subpixel: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched [B, H, W] pipeline, traceable inside an outer jit."""
     if use_pallas:
-        return _classic_forward_batched_pallas(left, right, params, tile_rows)
-    return jax.vmap(functools.partial(classic_forward, params=params))(left, right)
+        return _classic_forward_batched_pallas(left, right, params, tile_rows,
+                                               subpixel)
+    return jax.vmap(
+        functools.partial(classic_forward, params=params, subpixel=subpixel)
+    )(left, right)
 
 
 def build_classic_pipeline(
@@ -172,20 +183,23 @@ def build_classic_pipeline(
     batched: bool = False,
     use_pallas: bool = False,
     tile_rows: int | None = None,
+    subpixel: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Jitted pipeline for fixed params.  With ``batched=True`` the inputs
     carry a leading pairs axis [B, H, W] (the throughput mode of
-    BASELINE.md config 4) — per-pair contour min/max via vmap."""
+    BASELINE.md config 4) — per-pair contour min/max via vmap.
+    ``subpixel`` adds the opt-in refined-disparity artifact
+    (classic_forward)."""
     if batched and use_pallas:
         return jax.jit(
             functools.partial(
                 _classic_forward_batched_pallas, params=params,
-                tile_rows=tile_rows,
+                tile_rows=tile_rows, subpixel=subpixel,
             )
         )
     fn = functools.partial(
         classic_forward, params=params, use_pallas=use_pallas,
-        tile_rows=tile_rows,
+        tile_rows=tile_rows, subpixel=subpixel,
     )
     if batched:
         fn = jax.vmap(fn)

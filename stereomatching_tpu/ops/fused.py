@@ -227,6 +227,7 @@ def _match_loop(
     num_shifts: int,
     row_mode: str = "chunked",
     shift_unroll: int = 2,
+    subpixel: bool = False,
 ):
     """The fused shift-match / box-filter / argmax loop on VMEM-resident
     edge planes ``l`` [rows, lw_l] / ``r0`` [rows, lw_r] (lane x + half
@@ -239,6 +240,11 @@ def _match_loop(
     the matmul pairs and rolls are independent, halving the
     loop-carried chain; the in-iteration updates stay ordered so the
     last-wins tie rule is untouched (bit-identical).
+
+    ``subpixel`` also carries the winner's neighbor scores and appends
+    a parabola-refined float32 plane (winner + offset, the semantics of
+    ops/argmax.match_and_score_subpixel) to the return tuple; best and
+    winner stay bit-identical.
     """
     rows = tile_rows + 2 * pad_half
     del rows
@@ -280,46 +286,91 @@ def _match_loop(
         match = mi[pad_half : pad_half + tile_rows, half : half + width]
         return jnp.where(match, sums, 0)
 
-    def update(best, winner, score, d):
-        # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
-        winner = jnp.where(score >= best, d + 1, winner)
-        return jnp.maximum(best, score), winner
-
     zeros = jnp.zeros((tile_rows, width), jnp.int32)
+    missing = jnp.full((tile_rows, width), -1, jnp.int32)  # scores >= 0
+
+    if subpixel:
+        # Carry the winner's neighbor scores (s_left, s_right, the
+        # previous score, and a took-the-max flag) exactly like
+        # ops/argmax.match_and_score_subpixel's scan.
+        def update(acc, score, d):
+            best, winner, s_left, s_right, s_prev, was_new = acc
+            s_right = jnp.where(was_new == 1, score, s_right)
+            is_new = score >= best
+            return (
+                jnp.maximum(best, score),
+                jnp.where(is_new, d + 1, winner),
+                jnp.where(is_new, s_prev, s_left),
+                jnp.where(is_new, missing, s_right),
+                score,
+                is_new.astype(jnp.int32),
+            )
+
+        init = (zeros, zeros, missing, missing, missing, zeros)
+    else:
+
+        def update(acc, score, d):
+            best, winner = acc
+            # Last-wins tie rule (src/stereo.c:211-219) via >= running
+            # max.
+            winner = jnp.where(score >= best, d + 1, winner)
+            return jnp.maximum(best, score), winner
+
+        init = (zeros, zeros)
+
     lanes_r = r0.shape[1]
     if shift_unroll == 2 and num_shifts % 2 == 0:
 
         def pair_step(i, carry):
-            best, winner, r_even, r_odd = carry
+            acc, r_even, r_odd = carry[:-2], carry[-2], carry[-1]
             s0 = score_of(r_even)
             s1 = score_of(r_odd)
-            best, winner = update(best, winner, s0, 2 * i)
-            best, winner = update(best, winner, s1, 2 * i + 1)
+            acc = update(acc, s0, 2 * i)
+            acc = update(acc, s1, 2 * i + 1)
             # Both carries advance two lanes; rotate left 2 == rotate
             # right lanes-2.
-            return (
-                best, winner,
+            return acc + (
                 pltpu.roll(r_even, lanes_r - 2, 1),
                 pltpu.roll(r_odd, lanes_r - 2, 1),
             )
 
-        best, winner, _, _ = jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, num_shifts // 2, pair_step,
-            (zeros, zeros, r0, pltpu.roll(r0, lanes_r - 1, 1)),
-        )
-        return best, winner
+            init + (r0, pltpu.roll(r0, lanes_r - 1, 1)),
+        )[:-2]
+    else:
 
-    def shift_step(d, carry):
-        best, winner, r_cur = carry
-        best, winner = update(best, winner, score_of(r_cur), d)
-        # Rotate left 1 lane == rotate right (lanes - 1); pltpu.roll
-        # requires a non-negative shift.
-        return best, winner, pltpu.roll(r_cur, lanes_r - 1, 1)
+        def shift_step(d, carry):
+            acc, r_cur = carry[:-1], carry[-1]
+            acc = update(acc, score_of(r_cur), d)
+            # Rotate left 1 lane == rotate right (lanes - 1);
+            # pltpu.roll requires a non-negative shift.
+            return acc + (pltpu.roll(r_cur, lanes_r - 1, 1),)
 
-    best, winner, _ = jax.lax.fori_loop(
-        0, num_shifts, shift_step, (zeros, zeros, r0)
+        out = jax.lax.fori_loop(
+            0, num_shifts, shift_step, init + (r0,)
+        )[:-1]
+
+    if not subpixel:
+        return out
+    best, winner, s_left, s_right, _, _ = out
+    return best, winner, _parabola_refine(best, winner, s_left, s_right)
+
+
+def _parabola_refine(best, winner, s_left, s_right):
+    """winner + parabola offset from the neighbor scores; offset 0
+    where a neighbor is missing (-1 sentinel) or the triple is not
+    strictly concave (ops/argmax.match_and_score_subpixel)."""
+    sl = s_left.astype(jnp.float32)
+    sm = best.astype(jnp.float32)
+    sr = s_right.astype(jnp.float32)
+    denom = sl - 2.0 * sm + sr
+    valid = (s_left >= 0) & (s_right >= 0) & (denom < 0)
+    offset = jnp.where(
+        valid, (sl - sr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0
     )
-    return best, winner
+    offset = jnp.clip(offset, -0.5, 0.5)
+    return winner.astype(jnp.float32) + offset
 
 
 def _kernel(
@@ -327,10 +378,7 @@ def _kernel(
     r_hbm,
     best_ref,
     winner_ref,
-    l_vmem,
-    r_vmem,
-    sems,
-    *,
+    *rest,
     tile_rows: int,
     width: int,
     half: int,
@@ -339,7 +387,12 @@ def _kernel(
     row_mode: str = "chunked",
     x_stride: int = 0,
     shift_unroll: int = 2,
+    subpixel: bool = False,
 ):
+    if subpixel:
+        sub_ref, l_vmem, r_vmem, sems = rest
+    else:
+        sub_ref, (l_vmem, r_vmem, sems) = None, rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -365,13 +418,16 @@ def _kernel(
     cp_l.wait()
     cp_r.wait()
 
-    best, winner = _match_loop(
+    out = _match_loop(
         l_vmem[:], r_vmem[:],
         tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
         num_shifts=num_shifts, row_mode=row_mode, shift_unroll=shift_unroll,
+        subpixel=subpixel,
     )
-    best_ref[0] = best
-    winner_ref[0] = winner
+    best_ref[0] = out[0]
+    winner_ref[0] = out[1]
+    if subpixel:
+        sub_ref[0] = out[2]
 
 
 def _invoke_kernel(
@@ -385,11 +441,12 @@ def _invoke_kernel(
     row_mode: str = "chunked",
     x_tile: int | None = None,
     shift_unroll: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    subpixel: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Launch the kernel on fully padded inputs
-    (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2).
-    The caller's padding must match this w/x_tile geometry
-    (_x_tiling + _prepare)."""
+    (l_pad [B, Hp+2p, Lw], r_pad [B, Hp+2p, Lwr]) -> ([B, Hp, W] x2,
+    plus a float32 sub-pixel plane when ``subpixel``).  The caller's
+    padding must match this w/x_tile geometry (_x_tiling + _prepare)."""
     bsz = l_pad.shape[0]
     hp = l_pad.shape[1] - 2 * pad_half
     n_tiles = hp // tile_rows
@@ -408,9 +465,12 @@ def _invoke_kernel(
         row_mode=row_mode,
         x_stride=wt if n_x > 1 else 0,
         shift_unroll=shift_unroll,
+        subpixel=subpixel,
     )
     rows = tile_rows + 2 * pad_half
-    best, winner = pl.pallas_call(
+    n_out = 3 if subpixel else 2
+    out_dtypes = [jnp.int32, jnp.int32, jnp.float32][:n_out]
+    outs = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles, n_x),
         in_specs=[
@@ -421,15 +481,11 @@ def _invoke_kernel(
             pl.BlockSpec(
                 (1, tile_rows, wt), lambda b, i, j: (b, i, j),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_rows, wt), lambda b, i, j: (b, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+            )
+        ] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), dt)
+            for dt in out_dtypes
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, bw_l), l_pad.dtype),
@@ -440,8 +496,8 @@ def _invoke_kernel(
         interpret=interpret,
     )(l_pad, r_pad)
     if n_x * wt != w:
-        best, winner = best[..., :w], winner[..., :w]
-    return best, winner
+        outs = [o[..., :w] for o in outs]
+    return tuple(outs)
 
 
 def _auto_tile_rows(
@@ -489,7 +545,8 @@ def match_and_score_pallas(
     row_mode: str = "chunked",
     x_tile: int | None = None,
     shift_unroll: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    subpixel: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused phases 2a-2c -> (best_scores, winning_shifts), int32 with
     the input's shape ([H, W] or batched [B, H, W] — the batch becomes
     the leading grid dimension, NOT a vmap, because Mosaic's ANY-space
@@ -498,6 +555,10 @@ def match_and_score_pallas(
     Semantically identical to ops.argmax.match_and_score (and therefore
     to the serial oracle) in both boundary modes; ``interpret`` defaults
     to True off-TPU so tests run on CPU.
+
+    ``subpixel`` appends the parabola-refined float32 plane of
+    ops/argmax.match_and_score_subpixel (carried through the fused
+    loop; best and winner stay bit-identical).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -526,14 +587,14 @@ def match_and_score_pallas(
     l_pad, r_pad, _hp = _prepare(
         left_edges, right_edges, params, tile_rows, pad_half, lw_l, lw_r
     )
-    best, winner = _invoke_kernel(
+    outs = _invoke_kernel(
         l_pad, r_pad, w, params, tile_rows, pad_half, interpret, row_mode,
-        x_tile, shift_unroll,
+        x_tile, shift_unroll, subpixel,
     )
-    best, winner = best[:, :h], winner[:, :h]
+    outs = tuple(o[:, :h] for o in outs)
     if squeeze:
-        best, winner = best[0], winner[0]
-    return best, winner
+        outs = tuple(o[0] for o in outs)
+    return outs
 
 
 def match_and_score_pallas_prehalo(
@@ -671,10 +732,7 @@ def _kernel_from_brightness(
     winner_ref,
     el_ref,
     er_ref,
-    l_vmem,
-    r_vmem,
-    sems,
-    *,
+    *rest,
     tile_rows: int,
     width: int,
     half: int,
@@ -687,7 +745,12 @@ def _kernel_from_brightness(
     img_width: int,
     ghost: bool,
     shift_unroll: int = 2,
+    subpixel: bool = False,
 ):
+    if subpixel:
+        sub_ref, l_vmem, r_vmem, sems = rest
+    else:
+        sub_ref, (l_vmem, r_vmem, sems) = None, rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -746,15 +809,18 @@ def _kernel_from_brightness(
     el = pltpu.roll(el_full, el_full.shape[1] - 1, 1)
     er = pltpu.roll(er_full, er_full.shape[1] - 1, 1)
 
-    best, winner = _match_loop(
+    out = _match_loop(
         el, er,
         tile_rows=tile_rows, width=width, half=half, pad_half=pad_half,
         num_shifts=num_shifts, row_mode=row_mode, shift_unroll=shift_unroll,
+        subpixel=subpixel,
     )
-    best_ref[0] = best
-    winner_ref[0] = winner
+    best_ref[0] = out[0]
+    winner_ref[0] = out[1]
     el_ref[0] = el[pad_half : pad_half + tile_rows, half : half + width]
     er_ref[0] = er[pad_half : pad_half + tile_rows, half : half + width]
+    if subpixel:
+        sub_ref[0] = out[2]
 
 
 def _prepare_k(
@@ -820,7 +886,8 @@ def match_score_edges_pallas(
     x_tile: int | None = None,
     shift_unroll: int = 2,
     input_storage: str = "int16",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    subpixel: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Single-kernel classic phases 1-2: brightness in, (best_scores,
     winning_shifts, edges_l, edges_r) out — the edge stencil runs
     in-VMEM on the brightness tile (compound halo half+1), so the edge
@@ -895,11 +962,13 @@ def match_score_edges_pallas(
         img_width=w,
         ghost=params.mode == BoundaryMode.GHOST,
         shift_unroll=shift_unroll,
+        subpixel=subpixel,
     )
     rows = tile_rows + 2 * pad_half
     out_spec = pl.BlockSpec(
         (1, tile_rows, wt), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
     )
+    out_dtypes = [jnp.int32] * 4 + ([jnp.float32] if subpixel else [])
     outs = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles, n_x),
@@ -907,10 +976,11 @@ def match_score_edges_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * len(out_dtypes),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), jnp.int32)
-        ] * 4,
+            jax.ShapeDtypeStruct((bsz, hp, n_x * wt), dt)
+            for dt in out_dtypes
+        ],
         scratch_shapes=[
             pltpu.VMEM((rows, bw_l), l_pad.dtype),
             pltpu.VMEM((rows, bw_r), r_pad.dtype),
@@ -925,5 +995,4 @@ def match_score_edges_pallas(
     outs = [o[:, :h, :w] for o in outs]
     if squeeze:
         outs = [o[0] for o in outs]
-    best, winner, edges_l, edges_r = outs
-    return best, winner, edges_l, edges_r
+    return tuple(outs)

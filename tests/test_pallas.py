@@ -6,6 +6,7 @@ The oracle is the spec, as test/diff.sh's serial C is for the reference's
 CUDA kernels.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -182,6 +183,57 @@ def test_fused_edges_kernel_matches_oracle(mode, sw, d):
     np.testing.assert_array_equal(np.asarray(ger), er)
     np.testing.assert_array_equal(np.asarray(best), want_best)
     np.testing.assert_array_equal(np.asarray(winner), want_winner)
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+@pytest.mark.parametrize("shift_unroll", [1, 2])
+def test_fused_subpixel_matches_xla(mode, shift_unroll):
+    """subpixel=True carries the winner's neighbor scores through the
+    fused loop; must equal ops/argmax.match_and_score_subpixel exactly
+    (same parabola arithmetic on the same int scores)."""
+    from stereomatching_tpu.ops.argmax import match_and_score_subpixel
+    from stereomatching_tpu.ops.fused import match_and_score_pallas
+
+    params = StereoParams(square_width=9, num_shifts=8, mode=mode,
+                          edge_rule="exact")
+    el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=200,
+                                                         seed=51)
+    want_b, want_w, want_s = match_and_score_subpixel(
+        jnp.asarray(el), jnp.asarray(er), params)
+    best, winner, sub = match_and_score_pallas(el, er, params,
+                                               shift_unroll=shift_unroll,
+                                               subpixel=True)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+    np.testing.assert_array_equal(np.asarray(sub), np.asarray(want_s))
+
+
+def test_fused_edges_kernel_subpixel_and_classic_surface():
+    """The single-kernel path's 5th output and the classic_forward
+    "subpixel" artifact (pallas vs XLA tier bit-equal)."""
+    from stereomatching_tpu.models.classic import classic_forward
+    from stereomatching_tpu.ops.argmax import match_and_score_subpixel
+    from stereomatching_tpu.ops.edges import find_edges
+
+    params = StereoParams(square_width=9, num_shifts=8,
+                          mode=BoundaryMode.GHOST, edge_rule="exact")
+    left, right = synthetic_pair(h=48, w=64, seed=23)
+    lb = to_brightness(left).astype(np.float32)
+    rb = to_brightness(right).astype(np.float32)
+    el = find_edges(jnp.asarray(lb), params.threshold, params.mode, "exact")
+    er = find_edges(jnp.asarray(rb), params.threshold, params.mode, "exact")
+    _, _, want_sub = match_and_score_subpixel(el, er, params)
+
+    res_p = classic_forward(jnp.asarray(lb), jnp.asarray(rb), params,
+                            use_pallas=True, subpixel=True)
+    res_x = classic_forward(jnp.asarray(lb), jnp.asarray(rb), params,
+                            use_pallas=False, subpixel=True)
+    np.testing.assert_array_equal(np.asarray(res_p["subpixel"]),
+                                  np.asarray(want_sub))
+    np.testing.assert_array_equal(np.asarray(res_x["subpixel"]),
+                                  np.asarray(want_sub))
+    np.testing.assert_array_equal(np.asarray(res_p["output-0"]),
+                                  np.asarray(res_x["output-0"]))
 
 
 @pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
