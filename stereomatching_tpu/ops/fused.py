@@ -228,6 +228,7 @@ def _match_loop(
     row_mode: str = "chunked",
     shift_unroll: int = 2,
     subpixel: bool = False,
+    band: str | None = None,
 ):
     """The fused shift-match / box-filter / argmax loop on VMEM-resident
     edge planes ``l`` [rows, lw_l] / ``r0`` [rows, lw_r] (lane x + half
@@ -248,6 +249,10 @@ def _match_loop(
     """
     rows = tile_rows + 2 * pad_half
     del rows
+    # "<row_mode>:<band>" selects the matmul band dtype explicitly
+    # (perf probing; tools/kernel_probe.py).
+    if band is None and ":" in row_mode:
+        row_mode, _, band = row_mode.partition(":")
     y0 = pad_half - half  # first row the box filter reaches
     k = 2 * half + 1
     lanes = l.shape[1]  # lw_l, a multiple of 128 and >= width + k - 1
@@ -262,7 +267,11 @@ def _match_loop(
     # is exact whenever the int8 INPUTS fit: matches are {0,1}; the
     # chunked/matmul row pass re-enters column sums <= k, so k <= 127
     # selects int8 (bf16/f32 is exact to k <= 255 — the entry bound).
-    use_int8 = k <= 127
+    # ``band`` overrides the dtype choice (perf probing via
+    # tools/kernel_probe.py "<row_mode>:bf16"); both are exact here —
+    # int8 needs k <= 127 (operand values <= k), bf16 k <= 255 (all
+    # integer operands <= 441 < 2^24 under f32 accumulation).
+    use_int8 = k <= 127 if band is None else band == "int8"
     band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
     acc_dtype = jnp.int32 if use_int8 else jnp.float32
     from stereomatching_tpu.ops.aggregate import make_col_band

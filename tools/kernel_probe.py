@@ -25,9 +25,13 @@ for _ in range(ITERS + 1):
 jax.block_until_ready(ins)
 modes = sys.argv[1:] or ["matmul", "chunked", "tree"]
 for mode in modes:
-    # "<row_mode>:u2" suffix selects the two-shifts-per-iteration loop.
-    rm, _, suffix = mode.partition(":")
-    unroll = 2 if suffix == "u2" else 1
+    # ":u2" suffix selects the two-shifts-per-iteration loop; an inner
+    # ":int8"/":bf16" suffix pins the matmul band dtype (e.g.
+    # "chunked:bf16:u2" — see ops/fused._match_loop).
+    rm = mode
+    unroll = 1
+    if rm.endswith(":u2"):
+        rm, unroll = rm[:-3], 2
     fn = jax.jit(lambda lp, rp, m=rm, u=unroll: sum(
         x.sum() for x in _invoke_kernel(lp, rp, W, params, tr, pad_half,
                                         False, m, None, u)))
