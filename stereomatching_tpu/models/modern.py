@@ -175,9 +175,12 @@ def disparity_one_view(
 
 
 def _sgm_volume(
-    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
+    left: jnp.ndarray, right: jnp.ndarray, params: ModernParams,
+    layout: str = "hwd",
 ) -> jnp.ndarray:
-    """Per-pixel cost volume for the SGM path -> int32 [H, W, D]."""
+    """Per-pixel cost volume for the SGM path -> int32 [H, W, D]
+    (``layout="dhw"``: the natural disparity-major [D, H, W] — the
+    volume is BUILT d-major, so this skips a relayout)."""
     ref = _maybe_census(left.astype(jnp.int32), params)
     other = _maybe_census(right.astype(jnp.int32), params)
     h, w = ref.shape
@@ -192,19 +195,25 @@ def _sgm_volume(
         return pcost(ref, win)
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
+    if layout == "dhw":
+        return vol
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
 
-def _sgm_tail(agg: jnp.ndarray, params: ModernParams) -> Dict[str, jnp.ndarray]:
-    """Aggregated volume [H, W, D] -> the SGM result dict (argmin +
-    sub-pixel, right-view re-projection, LR validity, hole fill)."""
+def _sgm_tail(
+    agg: jnp.ndarray, params: ModernParams, layout: str = "hwd"
+) -> Dict[str, jnp.ndarray]:
+    """Aggregated volume [H, W, D] (or [D, H, W] with layout="dhw",
+    the Pallas route's contiguous-slice layout) -> the SGM result dict
+    (argmin + sub-pixel, right-view re-projection, LR validity, hole
+    fill)."""
     from stereomatching_tpu.ops.sgm import (
         right_disparity_from_left_volume,
         volume_argmin_subpixel,
     )
 
-    disp, sub, cost = volume_argmin_subpixel(agg)
-    dr = right_disparity_from_left_volume(agg)
+    disp, sub, cost = volume_argmin_subpixel(agg, layout=layout)
+    dr = right_disparity_from_left_volume(agg, layout=layout)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
     filled = fill_invalid(sub, valid, params.fill_iterations)
     return {
@@ -230,16 +239,21 @@ def _sgm_forward(
     VMEM-resident kernel (ops/fused_sgm.py) — bit-identical."""
     from stereomatching_tpu.ops.sgm import sgm_aggregate
 
-    vol = _sgm_volume(left, right, params)
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
+        # Disparity-major end to end: the volume is built d-major, the
+        # kernel relayouts cost the same from either side, and the
+        # argmin/LR tail's D-step scans get contiguous [H, W] slices
+        # (strided hwd slices measured ~12 ms/pair of tail time).
+        vol = _sgm_volume(left, right, params, layout="dhw")
         agg = sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
-            small_values=_sgm_fits_int16(params),
+            small_values=_sgm_fits_int16(params), layout="dhw",
         )
-    else:
-        agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+        return _sgm_tail(agg, params, layout="dhw")
+    vol = _sgm_volume(left, right, params)
+    agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     return _sgm_tail(agg, params)
 
 
@@ -269,12 +283,14 @@ def _sgm_forward_batched_pallas(
     data-parallel XLA and simply vmap."""
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-    vol = jax.vmap(lambda l, r: _sgm_volume(l, r, params))(left, right)
+    vol = jax.vmap(
+        lambda l, r: _sgm_volume(l, r, params, layout="dhw")
+    )(left, right)
     agg = sgm_aggregate_pallas(
         vol, params.sgm_p1, params.sgm_p2,
-        small_values=_sgm_fits_int16(params),
+        small_values=_sgm_fits_int16(params), layout="dhw",
     )
-    return jax.vmap(lambda a: _sgm_tail(a, params))(agg)
+    return jax.vmap(lambda a: _sgm_tail(a, params, layout="dhw"))(agg)
 
 
 def modern_forward(

@@ -326,10 +326,16 @@ def sgm_aggregate_pallas(
     interpret: bool | None = None,
     small_values: bool = False,
     bidirectional: bool = False,
+    layout: str = "hwd",
 ) -> jnp.ndarray:
     """4-direction SGM aggregation of an int32 cost volume [H, W, D]
     (or a batch [B, H, W, D]) -> int32, same shape; bit-identical to
     ops/sgm.sgm_aggregate per pair.
+
+    ``layout="dhw"`` takes and returns the disparity-major [(B,) D, H,
+    W] instead — the scan-major relayouts cost the same from either
+    side, but D-major output feeds the argmin/LR tail's D-step scans
+    with contiguous [H, W] slices (ops/sgm.volume_argmin_subpixel).
 
     Batches stack into the kernel's LANE axis (scan chains are
     independent per lane, so per-pair results are unchanged bits):
@@ -347,16 +353,25 @@ def sgm_aggregate_pallas(
     is opt-in (docs/ROADMAP.md)."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
+    if layout not in ("hwd", "dhw"):
+        raise ValueError(f"layout must be hwd or dhw, got {layout!r}")
     if small_values and p2 >= 16384:
         small_values = False
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
-    b, h, w, d = vol.shape
+    if layout == "dhw":
+        b, d, h, w = vol.shape
+    else:
+        b, h, w, d = vol.shape
     vol = vol.astype(jnp.int16 if small_values else jnp.int32)
     # Scan-major layouts with the batch folded into lanes.
-    vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
-    vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
+    if layout == "dhw":
+        vol_v = jnp.transpose(vol, (2, 1, 0, 3)).reshape(h, d, b * w)
+        vol_h = jnp.transpose(vol, (3, 1, 0, 2)).reshape(w, d, b * h)
+    else:
+        vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
+        vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
 
     if bidirectional:
         run = functools.partial(
@@ -375,7 +390,12 @@ def sgm_aggregate_pallas(
         b_v = run(vol_v, reverse=True)
     lr = f_h.astype(jnp.int32) + b_h.astype(jnp.int32)  # [W, D, B*H]
     tb = f_v.astype(jnp.int32) + b_v.astype(jnp.int32)  # [H, D, B*W]
-    out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + jnp.transpose(
-        tb.reshape(h, d, b, w), (2, 0, 3, 1)
-    )
+    if layout == "dhw":
+        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
+            jnp.transpose(tb.reshape(h, d, b, w), (2, 1, 0, 3))
+        )
+    else:
+        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + (
+            jnp.transpose(tb.reshape(h, d, b, w), (2, 0, 3, 1))
+        )
     return out[0] if squeeze else out

@@ -74,40 +74,69 @@ def sgm_aggregate(
     return lr + rl + tb + bt
 
 
-def volume_argmin_subpixel(vol: jnp.ndarray):
-    """First-minimum argmin over the last axis + parabola sub-pixel
-    refine on the neighbors (the materialized-volume counterpart of
-    ops/costvolume.argmin_subpixel_scan — and implemented BY it: a
-    D-step scan of static channel slices; TPU gathers serialize, so
-    take_along_axis on the volume is the wrong tool).
-    -> (disparity int32, subpixel f32, cost int32), each [H, W]."""
+def volume_argmin_subpixel(vol: jnp.ndarray, layout: str = "hwd"):
+    """First-minimum argmin over the disparity axis + parabola
+    sub-pixel refine on the neighbors (the materialized-volume
+    counterpart of ops/costvolume.argmin_subpixel_scan — and
+    implemented BY it: a D-step scan of static channel slices; TPU
+    gathers serialize, so take_along_axis on the volume is the wrong
+    tool).  -> (disparity int32, subpixel f32, cost int32), each
+    [H, W].
+
+    ``layout``: "hwd" takes [H, W, D]; "dhw" takes the disparity-major
+    [D, H, W], whose per-step slices are CONTIGUOUS [H, W] planes —
+    the last-axis slices of the hwd layout read at stride D and run
+    far below HBM bandwidth.  Results are bit-identical."""
     from stereomatching_tpu.ops.costvolume import argmin_subpixel_scan
 
-    h, w, d_count = vol.shape
+    if layout == "dhw":
+        d_count, h, w = vol.shape
 
-    def cost_at(d):
-        return jax.lax.dynamic_index_in_dim(vol, d, axis=-1, keepdims=False)
+        def cost_at(d):
+            return jax.lax.dynamic_index_in_dim(vol, d, axis=0,
+                                                keepdims=False)
+    else:
+        h, w, d_count = vol.shape
+
+        def cost_at(d):
+            return jax.lax.dynamic_index_in_dim(vol, d, axis=-1,
+                                                keepdims=False)
 
     res = argmin_subpixel_scan(cost_at, d_count, (h, w))
     return res.disparity, res.subpixel, res.cost
 
 
-def right_disparity_from_left_volume(vol: jnp.ndarray) -> jnp.ndarray:
+def right_disparity_from_left_volume(
+    vol: jnp.ndarray, layout: str = "hwd"
+) -> jnp.ndarray:
     """Right-view disparity from the LEFT-referenced volume via the
     standard re-projection cost_R(x, d) = cost_L(x + d, d) (clamped) —
     avoids a second aggregation pass; used for LR consistency.
     Evaluated as a D-step scan (one static-size slice per disparity),
-    not a gather.  -> int32 [H, W]."""
-    h, w, d_count = vol.shape
-    # Edge-replicate x so x + d clamps to the last column.
-    ext = jnp.concatenate(
-        [vol, jnp.repeat(vol[:, -1:, :], d_count, axis=1)], axis=1
-    )
+    not a gather.  -> int32 [H, W].  ``layout`` as in
+    volume_argmin_subpixel."""
+    if layout == "dhw":
+        d_count, h, w = vol.shape
+        ext = jnp.concatenate(
+            [vol, jnp.repeat(vol[:, :, -1:], d_count, axis=2)], axis=2
+        )
+
+        def slice_at(d, zero):
+            return jax.lax.dynamic_slice(ext, (d, zero, d), (1, h, w))[0]
+    else:
+        h, w, d_count = vol.shape
+        # Edge-replicate x so x + d clamps to the last column.
+        ext = jnp.concatenate(
+            [vol, jnp.repeat(vol[:, -1:, :], d_count, axis=1)], axis=1
+        )
+
+        def slice_at(d, zero):
+            return jax.lax.dynamic_slice(ext, (zero, d, d), (h, w, 1))[..., 0]
 
     def step(carry, d):
         best, best_d = carry
         zero = jnp.zeros((), d.dtype)
-        c = jax.lax.dynamic_slice(ext, (zero, d, d), (h, w, 1))[..., 0]
+        c = slice_at(d, zero)
         is_new = c < best
         return (jnp.where(is_new, c, best), jnp.where(is_new, d, best_d)), None
 

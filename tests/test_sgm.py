@@ -167,6 +167,38 @@ class TestPallasSGM:
                 err_msg=f"pair {i}",
             )
 
+    def test_aggregate_dhw_layout_bit_identical(self):
+        """layout="dhw" (the tail-friendly disparity-major volume) must
+        be the hwd result transposed, bit for bit."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(17)
+        vol = rng.integers(0, 200, size=(2, 13, 21, 10)).astype(np.int32)
+        want = sgm_aggregate_pallas(jnp.asarray(vol), 8, 96)
+        got = sgm_aggregate_pallas(
+            jnp.asarray(np.transpose(vol, (0, 3, 1, 2))), 8, 96,
+            layout="dhw")
+        np.testing.assert_array_equal(
+            np.transpose(np.asarray(got), (0, 2, 3, 1)), np.asarray(want))
+
+    def test_tail_dhw_layout_bit_identical(self):
+        from stereomatching_tpu.ops.sgm import (
+            right_disparity_from_left_volume,
+            volume_argmin_subpixel,
+        )
+
+        rng = np.random.default_rng(19)
+        vol = rng.integers(0, 500, size=(15, 23, 12)).astype(np.int32)
+        want = volume_argmin_subpixel(jnp.asarray(vol))
+        got = volume_argmin_subpixel(
+            jnp.asarray(np.transpose(vol, (2, 0, 1))), layout="dhw")
+        for w_, g_ in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
+        want_r = right_disparity_from_left_volume(jnp.asarray(vol))
+        got_r = right_disparity_from_left_volume(
+            jnp.asarray(np.transpose(vol, (2, 0, 1))), layout="dhw")
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
     @pytest.mark.parametrize("reverse", [False, True])
     def test_directional_int16_storage_bit_identical(self, reverse):
         """int16 input selects int16 strip/carry storage; outputs (after
