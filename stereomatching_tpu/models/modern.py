@@ -188,6 +188,15 @@ def _sgm_volume(
     other_ext = _extend_left(other, d_count)
     pcost = _pixel_cost(params)
 
+    if layout == "dhw":
+        # Static slices, Python-unrolled: one fused XLA kernel writes
+        # the volume once (the vmapped dynamic_slice form measured
+        # ~4.5 ms/pair of pure overhead at 1 MP x 64 d).
+        return jnp.stack(
+            [pcost(ref, other_ext[:, d_count - d : d_count - d + w])
+             for d in range(d_count)]
+        )
+
     def cost_at(d):
         win = jax.lax.dynamic_slice(
             other_ext, (jnp.zeros((), d.dtype), d_count - d), (h, w)
@@ -195,8 +204,6 @@ def _sgm_volume(
         return pcost(ref, win)
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
-    if layout == "dhw":
-        return vol
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
 
@@ -206,16 +213,20 @@ def _sgm_tail(
     """Aggregated volume [H, W, D] (or [D, H, W] with layout="dhw",
     the Pallas route's contiguous-slice layout) -> the SGM result dict
     (argmin + sub-pixel, right-view re-projection, LR validity, hole
-    fill)."""
+    fill).  The dhw route unrolls the D-step scans (static slices +
+    on-chip carries; lax.scan's HBM carry round-trips measured ~8
+    ms/pair of tail time at 1 MP x 64 d)."""
     from stereomatching_tpu.ops.sgm import (
         right_disparity_from_left_volume,
         volume_argmin_subpixel,
     )
 
-    disp, sub, cost = volume_argmin_subpixel(agg, layout=layout)
-    dr = right_disparity_from_left_volume(agg, layout=layout)
+    unroll = layout == "dhw"
+    disp, sub, cost = volume_argmin_subpixel(agg, layout=layout,
+                                             unroll=unroll)
+    dr = right_disparity_from_left_volume(agg, layout=layout, unroll=unroll)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
-    filled = fill_invalid(sub, valid, params.fill_iterations)
+    filled = fill_invalid(sub, valid, params.fill_iterations, unroll=unroll)
     return {
         "disparity": disp,
         "subpixel": sub,

@@ -63,6 +63,7 @@ def argmin_subpixel_scan(
     cost_at,
     num_disparities: int,
     shape: Tuple[int, int],
+    unroll: bool = False,
 ) -> DisparityResult:
     """Core fused scan: ``cost_at(d)`` -> int32 [H, W] aggregated cost
     plane for (traced) disparity d.  Carries the running argmin plus the
@@ -71,7 +72,14 @@ def argmin_subpixel_scan(
     Argmin tie rule: FIRST minimum wins (strict <), the conventional
     choice for cost volumes (contrast with the classic pipeline's
     last-wins max, src/stereo.c:211-219 — both are tested).
-    """
+
+    ``unroll`` replaces the lax.scan with a Python loop (``cost_at``
+    then receives a static int): a lax.scan round-trips its six [H, W]
+    carry planes through HBM every step (~3 GB of carry traffic at
+    1 MP x 64 d), while the unrolled form fuses into one XLA kernel
+    whose carries stay on-chip.  Right for cheap ``cost_at`` (volume
+    slices); keep the scan when cost_at itself is heavy (compile size).
+    Bit-identical either way."""
     h, w = shape
     d_count = num_disparities
 
@@ -100,7 +108,15 @@ def argmin_subpixel_scan(
     plane = lambda v: jnp.full((h, w), v, jnp.int32)  # noqa: E731
     init = Carry(plane(_BIG), plane(0), plane(_BIG), plane(_BIG), plane(_BIG),
                  jnp.zeros((h, w), bool))
-    final, _ = jax.lax.scan(step, init, jnp.arange(d_count, dtype=jnp.int32))
+    if unroll:
+        final = init
+        for d in range(d_count):
+            # Plain Python d: cost_at's volume slice is fully static.
+            final, _ = step(final, d)
+    else:
+        final, _ = jax.lax.scan(
+            step, init, jnp.arange(d_count, dtype=jnp.int32)
+        )
 
     # Parabola refine on (c_left, best, c_right); skipped (offset 0) at
     # volume boundaries (d*=0 / d*=D-1, where a neighbor is _BIG) and on
@@ -270,12 +286,15 @@ def fill_invalid(
     disparity: jnp.ndarray,
     valid: jnp.ndarray,
     iterations: int = 16,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Diffuse valid disparities into invalidated holes: Jacobi sweeps
     where invalid pixels take the mean of their valid 4-neighbors (and
     become valid once any neighbor is).  The modern analogue of the
     classic pipeline's fill_web_holes (src/stereo.c:230-251), restated
-    with an explicit validity channel instead of the zero sentinel."""
+    with an explicit validity channel instead of the zero sentinel.
+    ``unroll``: Python loop instead of lax.scan (on-chip carries, see
+    argmin_subpixel_scan)."""
     d = disparity.astype(jnp.float32)
     v = valid.astype(jnp.float32)
 
@@ -300,5 +319,10 @@ def fill_invalid(
         v = jnp.where(newly, 1.0, v)
         return (d, v), None
 
+    if unroll:
+        state = (d, v)
+        for _ in range(iterations):
+            state, _ = one(state, None)
+        return state[0]
     (d, _), _ = jax.lax.scan(one, (d, v), None, length=iterations)
     return d

@@ -74,7 +74,9 @@ def sgm_aggregate(
     return lr + rl + tb + bt
 
 
-def volume_argmin_subpixel(vol: jnp.ndarray, layout: str = "hwd"):
+def volume_argmin_subpixel(
+    vol: jnp.ndarray, layout: str = "hwd", unroll: bool = False
+):
     """First-minimum argmin over the disparity axis + parabola
     sub-pixel refine on the neighbors (the materialized-volume
     counterpart of ops/costvolume.argmin_subpixel_scan — and
@@ -86,7 +88,12 @@ def volume_argmin_subpixel(vol: jnp.ndarray, layout: str = "hwd"):
     ``layout``: "hwd" takes [H, W, D]; "dhw" takes the disparity-major
     [D, H, W], whose per-step slices are CONTIGUOUS [H, W] planes —
     the last-axis slices of the hwd layout read at stride D and run
-    far below HBM bandwidth.  Results are bit-identical."""
+    far below HBM bandwidth.  Results are bit-identical.
+
+    ``unroll``: static Python loop over D instead of a lax.scan — the
+    scan round-trips six [H, W] carry planes through HBM per step,
+    the unrolled form fuses with on-chip carries (see
+    ops/costvolume.argmin_subpixel_scan)."""
     from stereomatching_tpu.ops.costvolume import argmin_subpixel_scan
 
     if layout == "dhw":
@@ -102,18 +109,18 @@ def volume_argmin_subpixel(vol: jnp.ndarray, layout: str = "hwd"):
             return jax.lax.dynamic_index_in_dim(vol, d, axis=-1,
                                                 keepdims=False)
 
-    res = argmin_subpixel_scan(cost_at, d_count, (h, w))
+    res = argmin_subpixel_scan(cost_at, d_count, (h, w), unroll=unroll)
     return res.disparity, res.subpixel, res.cost
 
 
 def right_disparity_from_left_volume(
-    vol: jnp.ndarray, layout: str = "hwd"
+    vol: jnp.ndarray, layout: str = "hwd", unroll: bool = False
 ) -> jnp.ndarray:
     """Right-view disparity from the LEFT-referenced volume via the
     standard re-projection cost_R(x, d) = cost_L(x + d, d) (clamped) —
     avoids a second aggregation pass; used for LR consistency.
     Evaluated as a D-step scan (one static-size slice per disparity),
-    not a gather.  -> int32 [H, W].  ``layout`` as in
+    not a gather.  -> int32 [H, W].  ``layout``/``unroll`` as in
     volume_argmin_subpixel."""
     if layout == "dhw":
         d_count, h, w = vol.shape
@@ -135,8 +142,9 @@ def right_disparity_from_left_volume(
 
     def step(carry, d):
         best, best_d = carry
-        zero = jnp.zeros((), d.dtype)
-        c = slice_at(d, zero)
+        # d is a Python int when unrolled (static slices) or a traced
+        # int32 in the scan; dynamic_slice accepts either alongside 0.
+        c = slice_at(d, 0)
         is_new = c < best
         return (jnp.where(is_new, c, best), jnp.where(is_new, d, best_d)), None
 
@@ -144,6 +152,11 @@ def right_disparity_from_left_volume(
         jnp.full((h, w), _BIG, vol.dtype),
         jnp.zeros((h, w), jnp.int32),
     )
+    if unroll:
+        carry = init
+        for d in range(d_count):
+            carry, _ = step(carry, d)
+        return carry[1]
     (best, best_d), _ = jax.lax.scan(
         step, init, jnp.arange(d_count, dtype=jnp.int32)
     )
