@@ -176,11 +176,13 @@ def disparity_one_view(
 
 def _sgm_volume(
     left: jnp.ndarray, right: jnp.ndarray, params: ModernParams,
-    layout: str = "hwd",
+    layout: str = "hwd", dtype=jnp.int32,
 ) -> jnp.ndarray:
     """Per-pixel cost volume for the SGM path -> int32 [H, W, D]
     (``layout="dhw"``: the natural disparity-major [D, H, W] — the
-    volume is BUILT d-major, so this skips a relayout)."""
+    volume is BUILT d-major, so this skips a relayout; ``dtype=int16``
+    writes the volume narrow when the costs fit — half the HBM
+    traffic, same values)."""
     ref = _maybe_census(left.astype(jnp.int32), params)
     other = _maybe_census(right.astype(jnp.int32), params)
     h, w = ref.shape
@@ -194,7 +196,7 @@ def _sgm_volume(
         # ~4.5 ms/pair of pure overhead at 1 MP x 64 d).
         return jnp.stack(
             [pcost(ref, other_ext[:, d_count - d : d_count - d + w])
-             for d in range(d_count)]
+             .astype(dtype) for d in range(d_count)]
         )
 
     def cost_at(d):
@@ -205,6 +207,40 @@ def _sgm_volume(
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
+
+
+def _sgm_tail_fused(
+    agg: jnp.ndarray, params: ModernParams
+) -> Dict[str, jnp.ndarray]:
+    """The SGM tail on a disparity-major aggregated volume via the
+    fused Pallas kernel (ops/fused_sgm.sgm_tail_pallas: one volume pass
+    for argmin + sub-pixel + right-view re-projection); LR masking and
+    hole fill are cheap [H, W] elementwise XLA.  Accepts [D, H, W] or
+    a batch [B, D, H, W]; bit-identical to _sgm_tail(layout="dhw")."""
+    from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
+
+    from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+
+    disp, sub, cost, dr = sgm_tail_pallas(agg)
+    batched = agg.ndim == 4
+    lr = functools.partial(
+        lr_consistency,
+        max_diff=params.lr_max_diff,
+        num_disparities=params.num_disparities,
+        unroll=True,
+    )
+    if batched:
+        lr = jax.vmap(lr)
+    valid = lr(disp, dr)
+    filled = fill_invalid_pallas(sub, valid, params.fill_iterations)
+    return {
+        "disparity": disp,
+        "subpixel": sub,
+        "disparity_right": dr,
+        "valid": valid,
+        "filled": filled,
+        "cost": cost,
+    }
 
 
 def _sgm_tail(
@@ -253,16 +289,21 @@ def _sgm_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-        # Disparity-major end to end: the volume is built d-major, the
-        # kernel relayouts cost the same from either side, and the
-        # argmin/LR tail's D-step scans get contiguous [H, W] slices
-        # (strided hwd slices measured ~12 ms/pair of tail time).
-        vol = _sgm_volume(left, right, params, layout="dhw")
+        # Disparity-major end to end: the volume is built d-major (and
+        # stored int16 when costs fit — half the build's HBM writes),
+        # the kernel relayouts cost the same from either side, and the
+        # fused tail kernel reads the (int16-summed) aggregate once.
+        small = _sgm_fits_int16(params)
+        vol = _sgm_volume(
+            left, right, params, layout="dhw",
+            dtype=jnp.int16 if small else jnp.int32,
+        )
         agg = sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
-            small_values=_sgm_fits_int16(params), layout="dhw",
+            small_values=small, layout="dhw",
+            out_dtype=_sgm_out_dtype(params),
         )
-        return _sgm_tail(agg, params, layout="dhw")
+        return _sgm_tail_fused(agg, params)
     vol = _sgm_volume(left, right, params)
     agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     return _sgm_tail(agg, params)
@@ -284,6 +325,15 @@ def _sgm_fits_int16(params: ModernParams) -> bool:
     return _sgm_cost_bound(params) + params.sgm_p2 < 16384
 
 
+def _sgm_out_dtype(params: ModernParams):
+    """Narrowest exact dtype of the 4-direction aggregated SUM
+    (<= 4 * (max_cost + p2)): int16 halves the sum's HBM write and the
+    tail kernel's volume read for every standard census/SAD config."""
+    if 4 * (_sgm_cost_bound(params) + params.sgm_p2) < 2**15:
+        return jnp.int16
+    return jnp.int32
+
+
 def _sgm_forward_batched_pallas(
     left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
 ) -> Dict[str, jnp.ndarray]:
@@ -294,14 +344,19 @@ def _sgm_forward_batched_pallas(
     data-parallel XLA and simply vmap."""
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
+    small = _sgm_fits_int16(params)
     vol = jax.vmap(
-        lambda l, r: _sgm_volume(l, r, params, layout="dhw")
+        lambda l, r: _sgm_volume(
+            l, r, params, layout="dhw",
+            dtype=jnp.int16 if small else jnp.int32,
+        )
     )(left, right)
     agg = sgm_aggregate_pallas(
         vol, params.sgm_p1, params.sgm_p2,
-        small_values=_sgm_fits_int16(params), layout="dhw",
+        small_values=small, layout="dhw",
+        out_dtype=_sgm_out_dtype(params),
     )
-    return jax.vmap(lambda a: _sgm_tail(a, params, layout="dhw"))(agg)
+    return _sgm_tail_fused(agg, params)
 
 
 def modern_forward(
@@ -339,12 +394,20 @@ def modern_forward(
         lr_consistency,
         max_diff=params.lr_max_diff,
         num_disparities=params.num_disparities,
+        unroll=use_pallas,
     )
     fill = functools.partial(fill_invalid, iterations=params.fill_iterations)
     if batched:
         lr, fill = jax.vmap(lr), jax.vmap(fill)
     valid = lr(dl.disparity, dr.disparity)
-    filled = fill(dl.subpixel, valid)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+
+        filled = fill_invalid_pallas(
+            dl.subpixel, valid, params.fill_iterations
+        )
+    else:
+        filled = fill(dl.subpixel, valid)
     return {
         "disparity": dl.disparity,
         "subpixel": dl.subpixel,

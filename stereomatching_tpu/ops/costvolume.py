@@ -212,6 +212,7 @@ def lr_consistency(
     disp_right: jnp.ndarray,
     max_diff: int = 1,
     num_disparities: int | None = None,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Left-right consistency mask: pixel x is consistent iff
     |dL(x) - dR(x - dL(x))| <= max_diff and x - dL(x) is in frame.
@@ -222,7 +223,9 @@ def lr_consistency(
     d, pixels where dL == d check the d-shifted right map.  TPU gathers
     serialize badly; the D-step scan of elementwise ops is much faster
     (and exactly equivalent).  Without it, a take_along_axis gather is
-    used (fine on CPU).
+    used (fine on CPU).  ``unroll``: Python loop with fully static
+    slices instead of the lax.scan (on-chip carries, see
+    argmin_subpixel_scan) — bit-identical.
     """
     h, w = disp_left.shape
     if num_disparities is None:
@@ -240,12 +243,20 @@ def lr_consistency(
     )
 
     def step(valid, d):
-        dr_shift = jax.lax.dynamic_slice(
-            dr_ext, (jnp.zeros((), d.dtype), num_disparities - d), (h, w)
-        )
+        if isinstance(d, int):
+            dr_shift = dr_ext[:, num_disparities - d : num_disparities - d + w]
+        else:
+            dr_shift = jax.lax.dynamic_slice(
+                dr_ext, (jnp.zeros((), d.dtype), num_disparities - d), (h, w)
+            )
         ok = (disp_left == d) & (jnp.abs(dr_shift - d) <= max_diff)
         return valid | ok, None
 
+    if unroll:
+        valid = jnp.zeros((h, w), bool)
+        for d in range(num_disparities):
+            valid, _ = step(valid, d)
+        return valid
     valid, _ = jax.lax.scan(
         step,
         jnp.zeros((h, w), bool),

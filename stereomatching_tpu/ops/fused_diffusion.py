@@ -205,6 +205,142 @@ def _kernel_range(w_hbm, out_ref, min_ref, max_ref, w_vmem, sems, min_acc,
             min_acc=min_acc, max_acc=max_acc, **kw)
 
 
+def _fill_invalid_kernel(
+    d_hbm,
+    v_hbm,
+    out_ref,
+    d_vmem,
+    v_vmem,
+    sems,
+    *,
+    tile_rows: int,
+    halo: int,
+    width: int,  # padded lane count
+    img_w: int,
+    height: int,
+    steps: int,
+):
+    """All ``steps`` validity-aware Jacobi sweeps on one row tile in
+    VMEM (ops/costvolume.fill_invalid semantics: invalid pixels take the
+    float32 mean of their VALID 4-neighbors, zero-padded edges; halo
+    width == steps, the influence reach)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = tile_rows + 2 * halo
+
+    cp_d = pltpu.make_async_copy(
+        d_hbm.at[b, pl.ds(i * tile_rows, rows), :], d_vmem, sems.at[0]
+    )
+    cp_v = pltpu.make_async_copy(
+        v_hbm.at[b, pl.ds(i * tile_rows, rows), :], v_vmem, sems.at[1]
+    )
+    cp_d.start()
+    cp_v.start()
+    cp_d.wait()
+    cp_v.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    g = i * tile_rows + row - halo
+    # Out-of-image rows/lanes are pinned invalid every step: their
+    # validity must not evolve (a zero-pad edge in the XLA form), and
+    # invalid cells contribute nothing (dv = d*v = 0).
+    in_img = ((g >= 0) & (g < height) & (lane < img_w)).astype(jnp.float32)
+    zero = jnp.zeros((rows, width), jnp.float32)
+
+    def nb_sum(x):
+        # right + left + down + up, in ops/costvolume.fill_invalid's
+        # float addition order.  Circular-roll wraparound: the left
+        # neighbor of lane 0 must be the zero pad (mask); the right
+        # neighbor of lane img_w-1 reads a pad lane, which in_img
+        # pinning already holds at 0 — except when img_w == width (no
+        # pad lanes), where the wrap reads REAL lane 0 and must be
+        # masked.  Row wraparound only pollutes the outermost halo rows
+        # (> steps from every output row).
+        right = pltpu.roll(x, width - 1, 1)
+        if img_w == width:
+            right = jnp.where(lane == img_w - 1, zero, right)
+        left = jnp.where(lane == 0, zero, pltpu.roll(x, 1, 1))
+        down = pltpu.roll(x, rows - 1, 0)
+        up = pltpu.roll(x, 1, 0)
+        return right + left + down + up
+
+    def one_step(_, state):
+        d, v = state
+        v = v * in_img
+        dv = d * v
+        num = nb_sum(dv)
+        den = nb_sum(v)
+        avg = num / jnp.maximum(den, 1.0)
+        newly = (v == 0.0) & (den > 0.0)
+        return (
+            jnp.where(newly, avg, d),
+            jnp.where(newly, jnp.float32(1.0), v),
+        )
+
+    init = (d_vmem[:], v_vmem[:] * in_img)
+    final_d, _ = jax.lax.fori_loop(0, steps, one_step, init)
+    out_ref[0] = final_d[halo : halo + tile_rows]
+
+
+def fill_invalid_pallas(
+    disparity: jnp.ndarray,
+    valid: jnp.ndarray,
+    iterations: int = 16,
+    tile_rows: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused ops/costvolume.fill_invalid: float32, same shape as
+    ``disparity`` ([H, W] or [B, H, W]); bit-identical to the XLA form
+    (same neighbor-sum order, same IEEE divide).  One HBM read of the
+    (disparity, validity) planes and one write of the result replace
+    the XLA form's per-sweep traffic."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    squeeze = disparity.ndim == 2
+    if squeeze:
+        disparity, valid = disparity[None], valid[None]
+    if iterations == 0:
+        out = disparity.astype(jnp.float32)
+        return out[0] if squeeze else out
+    bsz, h, w = disparity.shape
+    wp = _round_up(w, 128)
+    halo = _round_up(iterations, 4)
+    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+    hp = _round_up(h, tile_rows)
+    pad = ((0, 0), (halo, hp - h + halo), (0, wp - w))
+    d_pad = jnp.pad(disparity.astype(jnp.float32), pad)
+    v_pad = jnp.pad(valid.astype(jnp.float32), pad)
+    kernel = functools.partial(
+        _fill_invalid_kernel,
+        tile_rows=tile_rows,
+        halo=halo,
+        width=wp,
+        img_w=w,
+        height=h,
+        steps=iterations,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, hp // tile_rows),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, wp), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows + 2 * halo, wp), jnp.float32),
+            pltpu.VMEM((tile_rows + 2 * halo, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(d_pad, v_pad)
+    out = out[:, :h, :w]
+    return out[0] if squeeze else out
+
+
 def fill_web_holes_pallas(
     web: jnp.ndarray,
     times: int,

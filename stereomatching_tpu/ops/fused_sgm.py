@@ -30,6 +30,7 @@ cannot leak into the result).
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -319,6 +320,128 @@ def sgm_bidirectional_pallas(
     return lf[:s, :d, :p], lb[:s, :d, :p]
 
 
+_ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)
+
+
+def _tail_kernel(
+    vol_ref,  # [1, D, hc, Wp] VMEM block (lane pad = edge-replicated)
+    disp_ref,  # [1, hc, Wo]
+    sub_ref,
+    cost_ref,
+    dr_ref,
+    *,
+    d_count: int,
+    wo: int,
+):
+    """Fused argmin + sub-pixel + right-view re-projection over one row
+    strip of the aggregated volume: ONE read of the strip computes what
+    ops/sgm.volume_argmin_subpixel and right_disparity_from_left_volume
+    take two full volume passes (plus an edge-extended copy) to produce.
+    The right-view slice cost_L(x+d, d) is a static left-rotation of
+    plane d by d lanes — the lane padding is edge-replicated by the
+    host-side pad, so rotated-in lanes already hold the clamped
+    last-column value (no per-step masks)."""
+    blk = vol_ref[0]
+    wp = blk.shape[-1]
+    shape = blk.shape[1:]  # [hc, Wp]
+    big = jnp.full(shape, _ARGBIG, jnp.int32)
+    zero = jnp.zeros(shape, jnp.int32)
+    # Left-view argmin carries (argmin_subpixel_scan semantics: first
+    # minimum wins, neighbors tracked for the parabola).
+    best, best_d, c_left, c_right, c_prev = big, zero, big, big, big
+    was_new = zero
+    # Right-view carries (right_disparity_from_left_volume semantics).
+    best_r, dr = big, zero
+    for d in range(d_count):
+        c = blk[d].astype(jnp.int32)
+        c_right = jnp.where(was_new == 1, c, c_right)
+        is_new = c < best
+        best = jnp.where(is_new, c, best)
+        best_d = jnp.where(is_new, d, best_d)
+        c_left = jnp.where(is_new, c_prev, c_left)
+        c_right = jnp.where(is_new, big, c_right)
+        c_prev = c
+        was_new = is_new.astype(jnp.int32)
+        # cost_R(x, d) = cost_L(x + d, d): rotate plane d left by d.
+        cr_view = pltpu.roll(c, wp - d, 1) if d else c
+        r_new = cr_view < best_r
+        best_r = jnp.where(r_new, cr_view, best_r)
+        dr = jnp.where(r_new, d, dr)
+    # Parabola refine (argmin_subpixel_scan's epilogue, bit-for-bit).
+    cl = c_left.astype(jnp.float32)
+    cm = best.astype(jnp.float32)
+    cr = c_right.astype(jnp.float32)
+    denom = cl - 2.0 * cm + cr
+    valid = (c_left < _ARGBIG) & (c_right < _ARGBIG) & (denom > 0)
+    offset = jnp.where(
+        valid, (cl - cr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0
+    )
+    offset = jnp.clip(offset, -0.5, 0.5)
+    disp_ref[0] = best_d[:, :wo]
+    sub_ref[0] = best_d.astype(jnp.float32)[:, :wo] + offset[:, :wo]
+    cost_ref[0] = best[:, :wo]
+    dr_ref[0] = dr[:, :wo]
+
+
+def sgm_tail_pallas(
+    vol: jnp.ndarray,
+    interpret: bool | None = None,
+    row_strip: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused SGM tail over a disparity-major aggregated volume
+    [(B,) D, H, W] (int16 or int32) -> (disparity int32, subpixel f32,
+    cost int32, disparity_right int32), each [(B,) H, W].
+
+    Bit-identical to ops/sgm.volume_argmin_subpixel(layout="dhw") +
+    right_disparity_from_left_volume(layout="dhw") but in ONE pass over
+    the volume: those XLA D-step scans read the volume twice and
+    materialize an edge-extended copy for the re-projection; here every
+    strip block is DMA'd once and all four planes fall out of the same
+    loop."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    b, d, h, w = vol.shape
+    hc = min(row_strip, _round_up(h, 16))
+    hp = _round_up(h, hc)
+    # Lane pad: D extra lanes so the rotation never wraps into an output
+    # lane, edge-replicated so rotated-in values ARE the clamped
+    # re-projection reads; rounded to the lane tile.
+    wp = _round_up(w + d, 128)
+    wo = _round_up(w, 128)
+    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),
+                    mode="edge")
+    kernel = functools.partial(_tail_kernel, d_count=d, wo=wo)
+    n_strips = hp // hc
+    out_spec = pl.BlockSpec(
+        (1, hc, wo), lambda bi, si: (bi, si, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, d, hc, wp), lambda bi, si: (bi, 0, si, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wo), dt)
+            for dt in (jnp.int32, jnp.float32, jnp.int32, jnp.int32)
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(vol_p)
+    outs = tuple(o[:, :h, :w] for o in outs)
+    if squeeze:
+        outs = tuple(o[0] for o in outs)
+    return outs
+
+
 def sgm_aggregate_pallas(
     vol: jnp.ndarray,
     p1: int = 8,
@@ -327,6 +450,7 @@ def sgm_aggregate_pallas(
     small_values: bool = False,
     bidirectional: bool = False,
     layout: str = "hwd",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """4-direction SGM aggregation of an int32 cost volume [H, W, D]
     (or a batch [B, H, W, D]) -> int32, same shape; bit-identical to
@@ -350,7 +474,12 @@ def sgm_aggregate_pallas(
     ``bidirectional`` interleaves both scan directions in one kernel;
     bit-exact in interpret mode but measured SLOWER on chip (59.8 vs
     40.3 ms — the interleaved unrolled body apparently spills), so it
-    is opt-in (docs/ROADMAP.md)."""
+    is opt-in (docs/ROADMAP.md).
+
+    ``out_dtype`` (default int32) narrows the summed output — exact
+    when the caller's 4-direction sum bound 4*(max_cost + p2) fits the
+    dtype (models/modern._sgm_out_dtype); same VALUES, half the HBM
+    write + downstream tail read at int16."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
     if layout not in ("hwd", "dhw"):
@@ -388,8 +517,9 @@ def sgm_aggregate_pallas(
         b_h = run(vol_h, reverse=True)
         f_v = run(vol_v)
         b_v = run(vol_v, reverse=True)
-    lr = f_h.astype(jnp.int32) + b_h.astype(jnp.int32)  # [W, D, B*H]
-    tb = f_v.astype(jnp.int32) + b_v.astype(jnp.int32)  # [H, D, B*W]
+    acc = jnp.int32 if out_dtype is None else out_dtype
+    lr = f_h.astype(acc) + b_h.astype(acc)  # [W, D, B*H]
+    tb = f_v.astype(acc) + b_v.astype(acc)  # [H, D, B*W]
     if layout == "dhw":
         out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
             jnp.transpose(tb.reshape(h, d, b, w), (2, 1, 0, 3))

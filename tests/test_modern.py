@@ -6,6 +6,8 @@ the full cost volume — the fused scan must match it exactly on integer
 disparities and to float tolerance on the parabola offsets.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -243,3 +245,43 @@ def test_median_filter_removes_speckle():
     r2 = bad_pixel_rate(np.asarray(o2["disparity"]), gt, 1.0, v2)
     assert r2 <= r1
     assert o2["subpixel"].shape == (40, 80)
+
+
+@pytest.mark.parametrize("shape", [(17, 23), (24, 128), (9, 256), (33, 140)])
+def test_fill_invalid_pallas_bit_identical(shape):
+    """The fused hole-fill kernel must reproduce ops/costvolume.
+    fill_invalid bit for bit (same float order, same IEEE divide),
+    including exact-lane-tile widths where the circular roll would
+    otherwise wrap real columns."""
+    from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+
+    h, w = shape
+    rng = np.random.default_rng(h * w)
+    d = jnp.asarray(rng.uniform(0, 60, size=(h, w)).astype(np.float32))
+    v = jnp.asarray(rng.random((h, w)) < 0.6)
+    want = fill_invalid(d, v, iterations=16)
+    got = fill_invalid_pallas(d, v, iterations=16, tile_rows=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fill_invalid_pallas_batched_and_zero_iters():
+    from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(rng.uniform(0, 60, size=(3, 20, 31)).astype(np.float32))
+    v = jnp.asarray(rng.random((3, 20, 31)) < 0.5)
+    want = jax.vmap(lambda a, b: fill_invalid(a, b, iterations=5))(d, v)
+    got = fill_invalid_pallas(d, v, iterations=5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(
+        np.asarray(fill_invalid_pallas(d, v, iterations=0)), np.asarray(d)
+    )
+
+
+def test_lr_consistency_unroll_bit_identical():
+    rng = np.random.default_rng(11)
+    dl = jnp.asarray(rng.integers(0, 16, size=(21, 37)).astype(np.int32))
+    dr = jnp.asarray(rng.integers(0, 16, size=(21, 37)).astype(np.int32))
+    want = lr_consistency(dl, dr, max_diff=1, num_disparities=16)
+    got = lr_consistency(dl, dr, max_diff=1, num_disparities=16, unroll=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

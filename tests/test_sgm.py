@@ -247,3 +247,74 @@ class TestPallasSGM:
         for key in ("disparity", "disparity_right", "valid", "cost"):
             np.testing.assert_array_equal(np.asarray(got[key]),
                                           np.asarray(want[key]), err_msg=key)
+
+    @pytest.mark.parametrize("shape", [(12, 15, 23), (8, 33, 47), (16, 17, 130)])
+    @pytest.mark.parametrize("narrow", [False, True])
+    def test_tail_pallas_bit_identical(self, shape, narrow):
+        """The fused tail kernel (one volume pass) must reproduce the
+        XLA argmin + sub-pixel + right-view re-projection bit for bit,
+        for int32 and int16 volumes and awkward shapes."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
+        from stereomatching_tpu.ops.sgm import (
+            right_disparity_from_left_volume,
+            volume_argmin_subpixel,
+        )
+
+        d, h, w = shape
+        rng = np.random.default_rng(d)
+        vol = rng.integers(0, 900, size=(d, h, w)).astype(np.int32)
+        jv = jnp.asarray(vol.astype(np.int16) if narrow else vol)
+        disp, sub, cost, dr = sgm_tail_pallas(jv)
+        wd, ws, wc = volume_argmin_subpixel(jnp.asarray(vol), layout="dhw")
+        wr = right_disparity_from_left_volume(jnp.asarray(vol), layout="dhw")
+        np.testing.assert_array_equal(np.asarray(disp), np.asarray(wd))
+        np.testing.assert_array_equal(np.asarray(sub), np.asarray(ws))
+        np.testing.assert_array_equal(np.asarray(cost), np.asarray(wc))
+        np.testing.assert_array_equal(np.asarray(dr), np.asarray(wr))
+
+    def test_tail_pallas_batched(self):
+        from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
+
+        rng = np.random.default_rng(3)
+        vols = jnp.asarray(
+            rng.integers(0, 400, size=(3, 9, 21, 34)).astype(np.int32))
+        outs = sgm_tail_pallas(vols)
+        for i in range(3):
+            singles = sgm_tail_pallas(vols[i])
+            for got, want in zip(outs, singles):
+                np.testing.assert_array_equal(np.asarray(got[i]),
+                                              np.asarray(want))
+
+    def test_aggregate_out_dtype_int16_same_values(self):
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(23)
+        vol = rng.integers(0, 24, size=(7, 19, 27)).astype(np.int32)
+        want = sgm_aggregate_pallas(jnp.asarray(np.transpose(vol, (2, 0, 1))),
+                                    8, 96, layout="dhw")
+        got = sgm_aggregate_pallas(
+            jnp.asarray(np.transpose(vol, (2, 0, 1)).astype(np.int16)),
+            8, 96, layout="dhw", small_values=True, out_dtype=jnp.int16)
+        assert got.dtype == jnp.int16
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.int32),
+                                      np.asarray(want))
+
+    def test_modern_sgm_pallas_subpixel_filled_match(self):
+        """The fused-tail route's float planes (subpixel, filled) must
+        equal the XLA route's bit for bit (same float expression
+        order)."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        from tests.util import synthetic_pair
+
+        left, right = synthetic_pair(h=24, w=32, seed=8)
+        params = ModernParams(num_disparities=8, aggregation="sgm")
+        got = modern_forward(jnp.asarray(left.astype(np.int32)),
+                             jnp.asarray(right.astype(np.int32)),
+                             params, use_pallas=True)
+        want = modern_forward(jnp.asarray(left.astype(np.int32)),
+                              jnp.asarray(right.astype(np.int32)),
+                              params, use_pallas=False)
+        for key in ("subpixel", "filled"):
+            np.testing.assert_array_equal(np.asarray(got[key]),
+                                          np.asarray(want[key]), err_msg=key)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""SGM pipeline probe: times the Pallas SGM route end-to-end and its
+aggregation alone on the current backend (honest methodology: distinct
+inputs per iteration + checksum readback, as bench.py).
+
+Usage: python tools/sgm_probe.py [--size 1024] [--disparities 64]
+       [--batch 8] [--iters 3] [--stage full|agg|tail|all]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--disparities", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--stage", default="all",
+                   choices=["full", "agg", "tail", "all"])
+    p.add_argument("--cost", default="census", choices=["census", "sad"])
+    args = p.parse_args()
+
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import (
+        _sgm_fits_int16,
+        _sgm_forward_batched_pallas,
+        _sgm_tail,
+        _sgm_volume,
+    )
+    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+    params = ModernParams(
+        num_disparities=args.disparities, aggregation="sgm", cost=args.cost
+    )
+    B, H, W, D = args.batch, args.size, args.size, args.disparities
+    rng = np.random.default_rng(0)
+    ins = []
+    for _ in range(args.iters + 1):
+        l = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.int32))
+        ins.append((l, r))
+    jax.block_until_ready(ins)
+
+    def run(name, fn):
+        f = jax.jit(fn)
+        acc = float(jax.device_get(f(*ins[0])))
+        t0 = time.perf_counter()
+        for i in range(1, args.iters + 1):
+            acc += float(jax.device_get(f(*ins[i])))
+        t1 = time.perf_counter()
+        print(f"{name}: {(t1 - t0) / args.iters / B * 1e3:.2f} ms/pair "
+              f"(batch {B}, {H}x{W}x{D}d, {args.cost}) checksum={acc:.0f}",
+              flush=True)
+
+    small = _sgm_fits_int16(params)
+
+    def vol_fn(l, r):
+        return jax.vmap(
+            lambda a, b: _sgm_volume(a, b, params, layout="dhw")
+        )(l, r)
+
+    def agg_fn(l, r):
+        vol = vol_fn(l, r)
+        return sgm_aggregate_pallas(
+            vol, params.sgm_p1, params.sgm_p2, small_values=small,
+            layout="dhw",
+        ).sum()
+
+    def full_fn(l, r):
+        out = _sgm_forward_batched_pallas(l, r, params)
+        return sum(v.sum().astype(jnp.float32) for v in out.values())
+
+    def tail_fn(l, r):
+        # volume + tail without aggregation: isolates the argmin/LR tail
+        vol = vol_fn(l, r)
+        out = jax.vmap(lambda a: _sgm_tail(a, params, layout="dhw"))(vol)
+        return sum(v.sum().astype(jnp.float32) for v in out.values())
+
+    def volonly_fn(l, r):
+        return vol_fn(l, r).sum()
+
+    stages = {
+        "vol": volonly_fn, "agg": agg_fn, "tail": tail_fn, "full": full_fn,
+    }
+    todo = ["vol", "agg", "tail", "full"] if args.stage == "all" else [args.stage]
+    for name in todo:
+        run(name, stages[name])
+
+
+if __name__ == "__main__":
+    main()
