@@ -46,29 +46,73 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     vol_ref,  # [xc, Dp, Pp] VMEM block (current strip)
-    out_ref,  # [xc, Dp, Pp] VMEM block
-    carry,  # [Dp, Pp] scratch, persists ACROSS grid steps only
-    *,
+    *rest,  # ([add_ref,] out_ref, carry)
     xc: int,
     p1: int,
     p2: int,
     reverse: bool,
     init_step: int,
+    fold: bool = False,
+    chunk_lanes: int | None = None,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
     scratch is read once and written once per strip (not per column),
     and the carry re-initialization at the first real column (position
     ``init_step``; leading pad columns of a reverse pass come first) is
     resolved by a strip-level branch on the STATIC split point, so the
-    steady-state column loop has no conditionals at all."""
+    steady-state column loop has no conditionals at all.
+
+    ``fold``: a second input block (the opposite direction's already-
+    computed pass) is ADDED to each stored column, so the kernel writes
+    the per-axis direction sum directly — the XLA add pass (two reads +
+    one write of the full volume) disappears.
+
+    ``chunk_lanes``: process the strip CHUNK-MAJOR — each chunk of
+    lanes runs the whole strip's column chain with its carry and every
+    intermediate as a small register-class value, touching VMEM only
+    for the per-column c load and L store.  The full-plane form stages
+    each of the ~14 step ops through VMEM (ablation: trivial step math
+    still costs ~60% of the full step, tools/sgm_dir_probe.py), so the
+    movement floor, not arithmetic, dominates; chunking removes it."""
+    if fold:
+        add_ref, out_ref, carry = rest
+    else:
+        (out_ref, carry) = rest
+        add_ref = None
     s = pl.program_id(0)
     idx = (lambda j: xc - 1 - j) if reverse else (lambda j: j)
     init_strip = init_step // xc
     init_j = init_step % xc
     io_dt = out_ref.dtype
     narrow = io_dt == jnp.int16
+    pp = out_ref.shape[-1]
 
-    def run(init_at):
+    def run_chunks(init_at, chunk):
+        n_chunks = pp // chunk
+
+        def body(pc, _):
+            sl = pl.ds(pc * chunk, chunk)
+            cv = carry[:, sl]
+            if narrow:
+                cv = cv.astype(jnp.int32)
+            for j in range(xc):
+                c = vol_ref[idx(j), :, sl]
+                if narrow:
+                    c = c.astype(jnp.int32)
+                if init_at == "all" or (init_at is not None and j <= init_at):
+                    cv = c
+                else:
+                    cv = _step_math(cv, c, p1, p2, _BIG)
+                stored = cv.astype(io_dt) if narrow else cv
+                if fold:
+                    stored = stored + add_ref[idx(j), :, sl]
+                out_ref[idx(j), :, sl] = stored
+            carry[:, sl] = cv.astype(io_dt) if narrow else cv
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    def run_full(init_at):
         # init_at: column index (within the strip, processing order)
         # up to which the carry just copies the input; None = pure
         # recurrence; "all" = every column copies (pad-only strip).
@@ -84,8 +128,22 @@ def _kernel(
                 cv = c
             else:
                 cv = _step_math(cv, c, p1, p2, _BIG)
-            out_ref[idx(j)] = cv.astype(io_dt) if narrow else cv
+            stored = cv.astype(io_dt) if narrow else cv
+            if fold:
+                # Same-dtype elementwise add (values bounded by the
+                # caller's 2*(max_cost+p2) contract, no overflow).
+                stored = stored + add_ref[idx(j)]
+            out_ref[idx(j)] = stored
         carry[...] = cv.astype(io_dt) if narrow else cv
+
+    if chunk_lanes is None:  # auto: widest dividing chunk (512 tops)
+        chunk_lanes = next(
+            (c for c in (512, 256, 128) if pp % c == 0), 0
+        )
+    if chunk_lanes and pp % chunk_lanes == 0 and pp > chunk_lanes:
+        run = functools.partial(run_chunks, chunk=chunk_lanes)
+    else:
+        run = run_full
 
     @pl.when(s == init_strip)
     def _():
@@ -109,6 +167,8 @@ def sgm_directional_pallas(
     reverse: bool = False,
     strip: int = 16,
     interpret: bool | None = None,
+    add_to: jnp.ndarray | None = None,
+    chunk_lanes: int | None = None,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -116,7 +176,18 @@ def sgm_directional_pallas(
     int16 input selects int16 strip/carry STORAGE (half the DMA
     traffic; arithmetic still int32 in-VMEM) — exact and bit-identical
     to the int32 path whenever max_cost + p2 < 16384, so the 16384
-    padding sentinel never wins a min (caller contract)."""
+    padding sentinel never wins a min (caller contract).
+
+    ``add_to`` (same shape/dtype, typically the opposite direction's
+    output): the kernel returns L + add_to, folding the per-axis
+    direction sum into the pass (caller asserts the sum fits the
+    dtype).
+
+    ``chunk_lanes``: lane width of the chunk-major strip walk (None =
+    auto, 0 = full-plane).  Chunk-major runs each lane chunk through
+    the whole strip with register-class carries — measured ~1.7-2.2x
+    the full-plane form on chip, whose every step op stages through
+    VMEM (tools/sgm_dir_probe.py ablation)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s, d, p = vol.shape
@@ -142,26 +213,88 @@ def sgm_directional_pallas(
     n_strips = sp // xc
     init_step = sp - s if reverse else 0
 
+    fold = add_to is not None
     kernel = functools.partial(
-        _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse, init_step=init_step
+        _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse, init_step=init_step,
+        fold=fold, chunk_lanes=chunk_lanes,
     )
     if reverse:
         index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
     else:
         index_map = lambda i: (i, 0, 0)  # noqa: E731
+    block = pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
+    operands = [vol_pad]
+    if fold:
+        if add_to.shape != vol.shape or add_to.dtype != io_dt:
+            raise ValueError("add_to must match the volume's shape/dtype")
+        # Pad values don't matter (pad rows/lanes/columns are sliced
+        # off); zeros keep the pad finite.
+        operands.append(
+            jnp.pad(add_to, ((0, sp - s), (0, dp - d), (0, pp - p)))
+        )
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[
-            pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM),
+        in_specs=[block] * len(operands),
+        out_specs=block,
         out_shape=jax.ShapeDtypeStruct((sp, dp, pp), io_dt),
         scratch_shapes=[pltpu.VMEM((dp, pp), io_dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
-    )(vol_pad)
+    )(*operands)
     return out[:s, :d, :p]
+
+
+def _roll_sub(x, shift):
+    """Sublane roll that also legalizes for 16-bit dtypes: Mosaic has no
+    sub-32-bit rotates, but a sublane roll never mixes lanes, so a pair
+    of 16-bit lanes bitcast to one int32 lane rolls identically."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift, 0)
+    assert x.dtype.itemsize == 2 and x.shape[-1] % 2 == 0
+    y = jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[0], x.shape[1] // 2, 2), jnp.int32
+    )
+    y = pltpu.roll(y, shift, 0)
+    return jax.lax.bitcast_convert_type(y, x.dtype).reshape(x.shape)
+
+
+def _min_over_d_bf16(x):
+    """_min_over_d for a bf16 [D, P] plane: static slices stop at the
+    16-row sublane tile (an 8-row bf16 slice is sub-tile and would
+    relayout), then a 4-level butterfly (8/4/2/1) via the bitcast roll
+    leaves the min in all 16 sublanes; whole-tile copies broadcast back
+    up to [D, P]."""
+    d = x.shape[0]
+    n = d
+    while n > 16:
+        n //= 2
+        x = jnp.minimum(x[:n], x[n:])
+    for sh in (8, 4, 2, 1):
+        x = jnp.minimum(x, _roll_sub(x, sh))
+    if d > 16:
+        x = jnp.concatenate([x] * (d // 16), axis=0)
+    return x
+
+
+def _step_math_bf16(prev, c, p1, p2, big):
+    """_step_math on bf16 planes — exact whenever every intermediate
+    integer fits bf16's 8 significand bits (<= 256; the caller asserts
+    max(2*max_cost + p2, max_cost + 2*p2) <= 256): min/add of exactly-
+    representable integers are exact, so results are bit-identical to
+    the int32 path after widening.  No widen/narrow relayouts and half
+    the vector footprint per tile of the 16-bit lattice."""
+    d = prev.shape[0]
+    m = _min_over_d_bf16(prev)
+    di = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+    bigc = jnp.asarray(big, prev.dtype)
+    up = jnp.where(di == d - 1, bigc, _roll_sub(prev, d - 1))
+    dn = jnp.where(di == 0, bigc, _roll_sub(prev, 1))
+    best = jnp.minimum(
+        jnp.minimum(prev, jnp.minimum(up, dn) + jnp.asarray(p1, prev.dtype)),
+        m + jnp.asarray(p2, prev.dtype),
+    )
+    return c + best - m
 
 
 def _min_over_d(x):
@@ -502,6 +635,7 @@ def sgm_aggregate_pallas(
         vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
         vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
 
+    acc = jnp.int32 if out_dtype is None else out_dtype
     if bidirectional:
         run = functools.partial(
             sgm_bidirectional_pallas, p1=p1, p2=p2, interpret=interpret,
@@ -509,17 +643,17 @@ def sgm_aggregate_pallas(
         )
         f_h, b_h = run(vol_h)
         f_v, b_v = run(vol_v)
+        lr = f_h.astype(acc) + b_h.astype(acc)  # [W, D, B*H]
+        tb = f_v.astype(acc) + b_v.astype(acc)  # [H, D, B*W]
     else:
         run = functools.partial(
             sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret
         )
-        f_h = run(vol_h)
-        b_h = run(vol_h, reverse=True)
-        f_v = run(vol_v)
-        b_v = run(vol_v, reverse=True)
-    acc = jnp.int32 if out_dtype is None else out_dtype
-    lr = f_h.astype(acc) + b_h.astype(acc)  # [W, D, B*H]
-    tb = f_v.astype(acc) + b_v.astype(acc)  # [H, D, B*W]
+        # The reverse pass folds the forward output into its stores
+        # (exact: the per-axis sum is <= 2x the directional bound, which
+        # fits both io dtypes by the small_values contract).
+        lr = run(vol_h, reverse=True, add_to=run(vol_h)).astype(acc)
+        tb = run(vol_v, reverse=True, add_to=run(vol_v)).astype(acc)
     if layout == "dhw":
         out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
             jnp.transpose(tb.reshape(h, d, b, w), (2, 1, 0, 3))
