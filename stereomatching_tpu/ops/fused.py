@@ -216,6 +216,136 @@ def _prepare(
     return l_pad.astype(jnp.int32), r_pad.astype(jnp.int32), hp
 
 
+def _match_loop_chunkmajor(
+    l,
+    r0,
+    *,
+    tile_rows: int,
+    width: int,
+    half: int,
+    pad_half: int,
+    num_shifts: int,
+    chunk: int,
+    shift_unroll: int = 2,
+    subpixel: bool = False,
+):
+    """Chunk-major realization of _match_loop: the OUTER loop walks
+    lane chunks of ``chunk`` output columns, the inner loop the shifts,
+    so the compare/score/argmax chain and its (best, winner) carries
+    live on small [tile_rows, chunk] values instead of staging full
+    [rows, lanes] planes through VMEM per shift (the same movement-
+    floor argument as ops/fused_sgm's chunk-major strip walk).  The
+    per-chunk slide carry spans chunk + box + D lanes, so the shift
+    rolls rotate ~3 lane tiles instead of the full width.  Semantics
+    and results are bit-identical to _match_loop.
+
+    MEASURED DEAD END at the 1 MP bench shape (tools/kernel_probe.py:
+    cm256 1.115 / cm128 1.455 vs 0.942 ms/pair chunked): unlike the
+    SGM recurrence this loop is matmul-anchored — per-chunk col-band
+    matmuls run narrower (worse MXU utilization) and the overlapping
+    chunk windows redo ~20% of the compare work, which outweighs the
+    staging saving.  Kept selectable (row_mode="cm256") for probing
+    other geometries; not the default."""
+    k = 2 * half + 1
+    d = num_shifts
+    lanes_l = l.shape[1]
+    lanes_r = r0.shape[1]
+    cwl = _round_up(chunk + 2 * half, 128)  # l window + row-sum reach
+    cwr = _round_up(chunk + 2 * half + d, 128)  # + slide reach
+    n_ch = width // chunk
+    assert width % chunk == 0
+    assert (n_ch - 1) * chunk + cwl <= lanes_l, (n_ch, chunk, cwl, lanes_l)
+    assert (n_ch - 1) * chunk + cwr <= lanes_r
+
+    use_int8 = k <= 127
+    band_dtype = jnp.int8 if use_int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if use_int8 else jnp.float32
+    from stereomatching_tpu.ops.aggregate import make_col_band
+
+    y0 = pad_half - half
+    col_band = make_col_band(tile_rows, l.shape[0], k, y0, band_dtype)
+    kw = _round_up(chunk + k - 1, 128)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 0)
+    xx2 = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 1)
+    chunk_band = ((jj2 - xx2 >= 0) & (jj2 - xx2 < k)).astype(band_dtype)
+
+    zeros = jnp.zeros((tile_rows, chunk), jnp.int32)
+    missing = jnp.full((tile_rows, chunk), -1, jnp.int32)
+
+    def score_of(l_c, r_c):
+        mi = l_c == r_c[:, 0:cwl]
+        cs = jnp.matmul(
+            col_band, mi.astype(band_dtype), preferred_element_type=acc_dtype
+        )
+        sums = jnp.matmul(
+            cs[:, 0:kw].astype(band_dtype), chunk_band,
+            preferred_element_type=acc_dtype,
+        ).astype(jnp.int32)
+        match = mi[pad_half : pad_half + tile_rows, half : half + chunk]
+        return jnp.where(match, sums, 0)
+
+    if subpixel:
+        def update(acc, score, dd):
+            best, winner, s_left, s_right, s_prev, was_new = acc
+            s_right = jnp.where(was_new == 1, score, s_right)
+            is_new = score >= best
+            return (
+                jnp.maximum(best, score),
+                jnp.where(is_new, dd + 1, winner),
+                jnp.where(is_new, s_prev, s_left),
+                jnp.where(is_new, missing, s_right),
+                score,
+                is_new.astype(jnp.int32),
+            )
+
+        init = (zeros, zeros, missing, missing, missing, zeros)
+    else:
+        def update(acc, score, dd):
+            best, winner = acc
+            winner = jnp.where(score >= best, dd + 1, winner)
+            return jnp.maximum(best, score), winner
+
+        init = (zeros, zeros)
+
+    n_acc = len(init)
+    chunks = []
+    for c in range(n_ch):
+        c0 = c * chunk
+        l_c = l[:, c0 : c0 + cwl]
+        r_c0 = r0[:, c0 : c0 + cwr]
+        if shift_unroll == 2 and d % 2 == 0:
+            def pair_step(i, carry, l_c=l_c):
+                acc, r_even, r_odd = carry[:-2], carry[-2], carry[-1]
+                acc = update(acc, score_of(l_c, r_even), 2 * i)
+                acc = update(acc, score_of(l_c, r_odd), 2 * i + 1)
+                return acc + (
+                    pltpu.roll(r_even, cwr - 2, 1),
+                    pltpu.roll(r_odd, cwr - 2, 1),
+                )
+
+            out = jax.lax.fori_loop(
+                0, d // 2, pair_step,
+                init + (r_c0, pltpu.roll(r_c0, cwr - 1, 1)),
+            )[:-2]
+        else:
+            def shift_step(dd, carry, l_c=l_c):
+                acc, r_cur = carry[:-1], carry[-1]
+                acc = update(acc, score_of(l_c, r_cur), dd)
+                return acc + (pltpu.roll(r_cur, cwr - 1, 1),)
+
+            out = jax.lax.fori_loop(
+                0, d, shift_step, init + (r_c0,)
+            )[:-1]
+        chunks.append(out[:n_acc])
+
+    cat = lambda i: jnp.concatenate([ch[i] for ch in chunks], axis=1)  # noqa: E731
+    best, winner = cat(0), cat(1)
+    if not subpixel:
+        return best, winner
+    s_left, s_right = cat(2), cat(3)
+    return best, winner, _parabola_refine(best, winner, s_left, s_right)
+
+
 def _match_loop(
     l,
     r0,
@@ -253,6 +383,22 @@ def _match_loop(
     # (perf probing; tools/kernel_probe.py).
     if band is None and ":" in row_mode:
         row_mode, _, band = row_mode.partition(":")
+    if row_mode.startswith("cm"):  # chunk-major: "cm256", "cm128"
+        chunk = int(row_mode[2:] or 256)
+        cwl = _round_up(chunk + 2 * half, 128)
+        cwr = _round_up(chunk + 2 * half + num_shifts, 128)
+        n_ch = -(-width // chunk)
+        if (
+            width % chunk == 0
+            and (n_ch - 1) * chunk + cwl <= l.shape[1]
+            and (n_ch - 1) * chunk + cwr <= r0.shape[1]
+        ):
+            return _match_loop_chunkmajor(
+                l, r0, tile_rows=tile_rows, width=width, half=half,
+                pad_half=pad_half, num_shifts=num_shifts, chunk=chunk,
+                shift_unroll=shift_unroll, subpixel=subpixel,
+            )
+        row_mode = "chunked"  # geometry unfit: fall back
     y0 = pad_half - half  # first row the box filter reaches
     k = 2 * half + 1
     lanes = l.shape[1]  # lw_l, a multiple of 128 and >= width + k - 1

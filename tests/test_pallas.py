@@ -145,14 +145,29 @@ def test_fused_kernel_x_tiled(mode):
     np.testing.assert_array_equal(np.asarray(w2), ww2)
 
 
-@pytest.mark.parametrize("row_mode", ["matmul", "chunked", "tree"])
+@pytest.mark.parametrize("row_mode", ["matmul", "chunked", "tree", "cm128"])
 def test_fused_kernel_row_modes(row_mode):
-    """All three row-sum realizations are bit-identical."""
+    """Every selectable match-loop realization (three row-sum forms +
+    the chunk-major walk, which falls back to chunked when the chunk
+    geometry does not divide the width) is bit-identical."""
     params = StereoParams(square_width=21, times=4, lines=4, num_shifts=8,
                           mode=BoundaryMode.GHOST, edge_rule="exact")
     el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=300,
                                                          seed=13)
     best, winner = match_and_score_pallas(el, er, params, row_mode=row_mode)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(winner), want_winner)
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+def test_fused_kernel_chunk_major(mode):
+    """The chunk-major walk proper (width a chunk multiple, so no
+    fallback) is bit-identical, both boundary modes."""
+    params = StereoParams(square_width=9, times=4, lines=4, num_shifts=8,
+                          mode=mode, edge_rule="exact")
+    el, er, want_best, want_winner = _edges_and_expected(params, h=24, w=256,
+                                                         seed=29)
+    best, winner = match_and_score_pallas(el, er, params, row_mode="cm128")
     np.testing.assert_array_equal(np.asarray(best), want_best)
     np.testing.assert_array_equal(np.asarray(winner), want_winner)
 

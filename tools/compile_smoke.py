@@ -73,6 +73,24 @@ def main() -> int:
         return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
                                               interpret=False)
 
+    def sgm_chunked():
+        # P wide enough that the chunk-major walk engages (pp > 512).
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.asarray(
+            rng.integers(0, 81, (16, 8, 640)).astype(np.int16))
+        return lambda: sgm_directional_pallas(
+            v, 8, 96, interpret=False, add_to=v, chunk_lanes=128)
+
+    def sgm_tail():
+        from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
+        v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
+        return lambda: sgm_tail_pallas(v, interpret=False)
+
+    def fill_invalid():
+        from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+        return lambda: fill_invalid_pallas(
+            lb, edges.astype(bool), 4, interpret=False)
+
     def modern(cost):
         from stereomatching_tpu.models.modern import _maybe_census
         from stereomatching_tpu.ops.fused_modern import disparity_pallas
@@ -96,6 +114,9 @@ def main() -> int:
         "sgm-int32-rev": sgm(jnp.int32, True),
         "sgm-int16-fwd": sgm(jnp.int16, False),
         "sgm-int16-rev": sgm(jnp.int16, True),
+        "sgm-chunked-fold": sgm_chunked(),
+        "sgm-tail": sgm_tail(),
+        "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),
         "modern-census": modern("census"),
     }
