@@ -340,8 +340,12 @@ def _sgm_forward_batched_pallas(
     """Batched SGM with ONE kernel dispatch per scan direction: the
     batch rides the kernel's lane axis (sgm_aggregate_pallas), where
     the latency-bound recurrence's per-step cost is nearly flat, so B
-    pairs cost close to one.  Volume build and the argmin/LR tail are
-    data-parallel XLA and simply vmap."""
+    pairs cost close to one.  The d-major volume is built contiguous
+    then relayouted by sgm_aggregate_pallas — building the scan-major
+    layouts directly from the census planes (_sgm_scan_major_volumes)
+    measured SLOWER on chip (12.0 vs 9.4 ms/pair at 1 MP x 64 d b16:
+    XLA's transposed stack writes run below its optimized transpose);
+    the argmin/LR tail is the fused kernel (sgm_tail_pallas)."""
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
     small = _sgm_fits_int16(params)

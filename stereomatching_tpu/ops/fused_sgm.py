@@ -634,7 +634,37 @@ def sgm_aggregate_pallas(
     else:
         vol_v = jnp.transpose(vol, (1, 3, 0, 2)).reshape(h, d, b * w)
         vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
+    out = aggregate_from_scan_major(
+        vol_v, vol_h, b, p1=p1, p2=p2, interpret=interpret,
+        small_values=small_values, bidirectional=bidirectional,
+        out_dtype=out_dtype, layout=layout,
+    )
+    return out[0] if squeeze else out
 
+
+def aggregate_from_scan_major(
+    vol_v: jnp.ndarray,
+    vol_h: jnp.ndarray,
+    batch: int,
+    p1: int = 8,
+    p2: int = 96,
+    interpret: bool | None = None,
+    small_values: bool = False,
+    bidirectional: bool = False,
+    out_dtype=None,
+    layout: str = "dhw",
+) -> jnp.ndarray:
+    """sgm_aggregate_pallas's core on PRE-LAYOUTED scan-major volumes
+    (``vol_v`` [H, D, B*W], ``vol_h`` [W, D, B*H]) — callers that can
+    build these directly (models/modern builds them straight from the
+    census planes) skip materializing the [B, D, H, W] volume and its
+    two relayout transposes.  -> the 4-direction sum in ``layout``
+    ([B, D, H, W] for "dhw", [B, H, W, D] for "hwd"), int32 or
+    ``out_dtype``."""
+    h, d, bw = vol_v.shape
+    w, _, bh = vol_h.shape
+    b = batch
+    assert bw == b * w and bh == b * h, (vol_v.shape, vol_h.shape, b)
     acc = jnp.int32 if out_dtype is None else out_dtype
     if bidirectional:
         run = functools.partial(
@@ -662,4 +692,4 @@ def sgm_aggregate_pallas(
         out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + (
             jnp.transpose(tb.reshape(h, d, b, w), (2, 0, 3, 1))
         )
-    return out[0] if squeeze else out
+    return out
