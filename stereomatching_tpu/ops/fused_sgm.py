@@ -25,6 +25,15 @@ P to the lane tile (independent scan lanes, sliced away), S to the
 strip size (the kernel re-initializes the carry at the first REAL
 column in processing order, so leading pad columns in a reverse pass
 cannot leak into the result).
+
+Late-round-2 structure (measured on chip, see docs/DESIGN.md "The VMEM
+staging floor"): the strip walk runs CHUNK-MAJOR by default — lane
+chunks in the outer loop, columns inside, carries as register-class
+values (1.7-2.2x the full-plane walk, which staged every step op's
+[D, P] plane through VMEM); the reverse pass folds the forward pass's
+output into its stores (no XLA add pass); and the argmin/sub-pixel/
+right-view tail is its own one-pass kernel (sgm_tail_pallas) instead
+of three XLA volume passes.
 """
 
 from __future__ import annotations

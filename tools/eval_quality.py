@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Disparity quality evaluation — the BASELINE.md bad-pixel-rate harness.
 
-Runs the modern SAD pipeline on a stereo pair and scores it against a
+Runs the modern pipeline (SAD/census, box or SGM aggregation) on a
+stereo pair and scores it against a
 ground-truth disparity map (Middlebury-style bad-1/bad-2/EPE):
 
     python tools/eval_quality.py left.png right.png gt.npy \
@@ -35,6 +36,8 @@ def main() -> int:
     p.add_argument("--disparities", type=int, default=64)
     p.add_argument("--window", type=int, default=9)
     p.add_argument("--scales", type=int, default=1, choices=[1, 2])
+    p.add_argument("--cost", default="sad", choices=["sad", "census"])
+    p.add_argument("--aggregation", default="box", choices=["box", "sgm"])
     p.add_argument("--gt-scale", type=float, default=None,
                    help="disparity = PNG value * scale (default: 1/256 "
                         "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
@@ -68,7 +71,8 @@ def main() -> int:
         gt = read_ground_truth(args.gt, scale=args.gt_scale).astype(np.float64)
 
     params = ModernParams(
-        num_disparities=args.disparities, window=args.window, scales=args.scales
+        num_disparities=args.disparities, window=args.window,
+        scales=args.scales, cost=args.cost, aggregation=args.aggregation,
     )
     fn = build_modern_pipeline(params)
     out = fn(left.astype(np.int32), right.astype(np.int32))
@@ -80,7 +84,8 @@ def main() -> int:
         "valid_pixels": report,
         "filled_all_pixels": report_filled,
         "params": {"disparities": args.disparities, "window": args.window,
-                   "scales": args.scales},
+                   "scales": args.scales, "cost": args.cost,
+                   "aggregation": args.aggregation},
     }, indent=2))
     return 0
 

@@ -4,7 +4,10 @@ times sgm_directional_pallas on a prebuilt scan-major strip with parts
 of the step math disabled (WRONG results — perf isolation only).
 
 Usage: python tools/sgm_dir_probe.py [variants...]
-Variants: full notree norolls nomask bare int32
+Variants: full notree norolls nomask bare opt int32 opt32; append
+"@N" (e.g. full@512) to force the chunk-major walk with N-lane chunks
+("@0" forces full-plane).  Note chunk_lanes=None now auto-selects
+chunk-major, so bare variant names measure the production default.
 """
 import os
 import sys
@@ -90,14 +93,13 @@ VARIANTS = {
 
 todo = sys.argv[1:] or ["full", "notree", "norolls", "nomask", "bare",
                         "int32"]
-for name in todo:
+for label in todo:
     ins = vols16
-    ck = None
-    base = name
-    if "@" in name:  # e.g. full@128, opt32@256: chunk-major lanes
-        base, ck = name.split("@")
+    ck = None  # None = the production auto-chunking default
+    name = label
+    if "@" in label:  # e.g. full@128, opt32@256: chunk-major lanes
+        name, ck = label.split("@")
         ck = int(ck)
-    name_, name = name, base
     if name in ("int32", "opt32"):
         fs._step_math = orig_step if name == "int32" else step_opt
         ins = [v.astype(jnp.int32) for v in vols16]
@@ -115,7 +117,7 @@ for name in todo:
         acc += int(jax.device_get(fn(ins[i])))
     t1 = time.perf_counter()
     us_col = (t1 - t0) / ITERS / S * 1e6
-    print(f"{name_}: {(t1 - t0) / ITERS / B * 1e3:.2f} ms/pair "
+    print(f"{label}: {(t1 - t0) / ITERS / B * 1e3:.2f} ms/pair "
           f"({us_col:.1f} us/column for {B} pairs) checksum={acc}",
           flush=True)
 fs._step_math = orig_step

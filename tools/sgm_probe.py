@@ -35,7 +35,7 @@ def main() -> None:
     from stereomatching_tpu.models.modern import (
         _sgm_fits_int16,
         _sgm_forward_batched_pallas,
-        _sgm_tail,
+        _sgm_tail_fused,
         _sgm_volume,
     )
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
@@ -82,9 +82,10 @@ def main() -> None:
         return sum(v.sum().astype(jnp.float32) for v in out.values())
 
     def tail_fn(l, r):
-        # volume + tail without aggregation: isolates the argmin/LR tail
+        # volume + FUSED tail without aggregation: isolates the
+        # argmin/LR/fill tail (sgm_tail_pallas + lr + fill_invalid_pallas)
         vol = vol_fn(l, r)
-        out = jax.vmap(lambda a: _sgm_tail(a, params, layout="dhw"))(vol)
+        out = _sgm_tail_fused(vol, params)
         return sum(v.sum().astype(jnp.float32) for v in out.values())
 
     def volonly_fn(l, r):
