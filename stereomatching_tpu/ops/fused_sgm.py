@@ -474,55 +474,70 @@ def _tail_kernel(
     *,
     d_count: int,
     wo: int,
+    chunk: int = 128,
 ):
     """Fused argmin + sub-pixel + right-view re-projection over one row
     strip of the aggregated volume: ONE read of the strip computes what
     ops/sgm.volume_argmin_subpixel and right_disparity_from_left_volume
     take two full volume passes (plus an edge-extended copy) to produce.
-    The right-view slice cost_L(x+d, d) is a static left-rotation of
-    plane d by d lanes — the lane padding is edge-replicated by the
-    host-side pad, so rotated-in lanes already hold the clamped
+
+    CHUNK-MAJOR (the VMEM-staging-floor lesson, docs/DESIGN.md): the
+    outer loop walks ``chunk``-lane output windows, the disparity loop
+    runs inside on register-class [hc, chunk+pad(D)] values.  Each
+    step's window load covers the re-projection reach, so the
+    right-view slice cost_L(x+d, d) is a left-rotation of the window by
+    d lanes that never wraps into the output lanes; the host's
+    edge-replicated lane padding makes rotated-in lanes the clamped
     last-column value (no per-step masks)."""
-    blk = vol_ref[0]
-    wp = blk.shape[-1]
-    shape = blk.shape[1:]  # [hc, Wp]
+    hc = vol_ref.shape[2]
+    win = chunk + _round_up(d_count, 128)  # slide reach, lane-tiled
+    shape = (hc, chunk)
     big = jnp.full(shape, _ARGBIG, jnp.int32)
     zero = jnp.zeros(shape, jnp.int32)
-    # Left-view argmin carries (argmin_subpixel_scan semantics: first
-    # minimum wins, neighbors tracked for the parabola).
-    best, best_d, c_left, c_right, c_prev = big, zero, big, big, big
-    was_new = zero
-    # Right-view carries (right_disparity_from_left_volume semantics).
-    best_r, dr = big, zero
-    for d in range(d_count):
-        c = blk[d].astype(jnp.int32)
-        c_right = jnp.where(was_new == 1, c, c_right)
-        is_new = c < best
-        best = jnp.where(is_new, c, best)
-        best_d = jnp.where(is_new, d, best_d)
-        c_left = jnp.where(is_new, c_prev, c_left)
-        c_right = jnp.where(is_new, big, c_right)
-        c_prev = c
-        was_new = is_new.astype(jnp.int32)
-        # cost_R(x, d) = cost_L(x + d, d): rotate plane d left by d.
-        cr_view = pltpu.roll(c, wp - d, 1) if d else c
-        r_new = cr_view < best_r
-        best_r = jnp.where(r_new, cr_view, best_r)
-        dr = jnp.where(r_new, d, dr)
-    # Parabola refine (argmin_subpixel_scan's epilogue, bit-for-bit).
-    cl = c_left.astype(jnp.float32)
-    cm = best.astype(jnp.float32)
-    cr = c_right.astype(jnp.float32)
-    denom = cl - 2.0 * cm + cr
-    valid = (c_left < _ARGBIG) & (c_right < _ARGBIG) & (denom > 0)
-    offset = jnp.where(
-        valid, (cl - cr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0
-    )
-    offset = jnp.clip(offset, -0.5, 0.5)
-    disp_ref[0] = best_d[:, :wo]
-    sub_ref[0] = best_d.astype(jnp.float32)[:, :wo] + offset[:, :wo]
-    cost_ref[0] = best[:, :wo]
-    dr_ref[0] = dr[:, :wo]
+
+    def chunk_body(pc, _):
+        c0 = pc * chunk
+        # Left-view argmin carries (argmin_subpixel_scan semantics:
+        # first minimum wins, neighbors tracked for the parabola).
+        best, best_d, c_left, c_right, c_prev = big, zero, big, big, big
+        was_new = zero
+        # Right-view carries (right_disparity_from_left_volume).
+        best_r, dr = big, zero
+        for d in range(d_count):
+            w_d = vol_ref[0, d, :, pl.ds(c0, win)].astype(jnp.int32)
+            c = w_d[:, :chunk]
+            c_right = jnp.where(was_new == 1, c, c_right)
+            is_new = c < best
+            best = jnp.where(is_new, c, best)
+            best_d = jnp.where(is_new, d, best_d)
+            c_left = jnp.where(is_new, c_prev, c_left)
+            c_right = jnp.where(is_new, big, c_right)
+            c_prev = c
+            was_new = is_new.astype(jnp.int32)
+            # cost_R(x, d) = cost_L(x + d, d): rotate the window left
+            # by d; output lanes j < chunk read j + d < win (no wrap).
+            cr_view = (pltpu.roll(w_d, win - d, 1) if d else w_d)[:, :chunk]
+            r_new = cr_view < best_r
+            best_r = jnp.where(r_new, cr_view, best_r)
+            dr = jnp.where(r_new, d, dr)
+        # Parabola refine (argmin_subpixel_scan's epilogue, bit-for-bit).
+        cl = c_left.astype(jnp.float32)
+        cm = best.astype(jnp.float32)
+        cr = c_right.astype(jnp.float32)
+        denom = cl - 2.0 * cm + cr
+        valid = (c_left < _ARGBIG) & (c_right < _ARGBIG) & (denom > 0)
+        offset = jnp.where(
+            valid, (cl - cr) / jnp.where(valid, 2.0 * denom, 1.0), 0.0
+        )
+        offset = jnp.clip(offset, -0.5, 0.5)
+        sl = pl.ds(c0, chunk)
+        disp_ref[0, :, sl] = best_d
+        sub_ref[0, :, sl] = best_d.astype(jnp.float32) + offset
+        cost_ref[0, :, sl] = best
+        dr_ref[0, :, sl] = dr
+        return 0
+
+    jax.lax.fori_loop(0, wo // chunk, chunk_body, 0)
 
 
 def sgm_tail_pallas(
@@ -548,11 +563,11 @@ def sgm_tail_pallas(
     b, d, h, w = vol.shape
     hc = min(row_strip, _round_up(h, 16))
     hp = _round_up(h, hc)
-    # Lane pad: D extra lanes so the rotation never wraps into an output
-    # lane, edge-replicated so rotated-in values ARE the clamped
-    # re-projection reads; rounded to the lane tile.
-    wp = _round_up(w + d, 128)
+    # Lane pad: every output chunk's window needs the full slide reach
+    # past it, edge-replicated so rotated-in values ARE the clamped
+    # re-projection reads (lane-tile rounded).
     wo = _round_up(w, 128)
+    wp = wo + _round_up(d, 128)
     vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
     vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),
                     mode="edge")

@@ -151,3 +151,37 @@ def test_fuzz_modern_pallas_matches_scan(seed):
         err_msg=f"{params} ref={ref} h={h} w={w}",
     )
     np.testing.assert_array_equal(np.asarray(got.cost), np.asarray(want.cost))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sgm_pallas_route_matches_xla(seed):
+    """The full Pallas SGM route (volume dtype narrowing, chunk-major
+    directional kernels with the direction-sum fold, fused tail, fused
+    hole fill) vs the XLA route, bit-for-bit on every output, over
+    random shapes, penalties, and costs."""
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import modern_forward
+
+    rng = np.random.default_rng(5000 + seed)
+    p1 = int(rng.integers(0, 12))
+    params = ModernParams(
+        num_disparities=int(rng.integers(2, 24)),
+        cost=str(rng.choice(["sad", "census"])),
+        census_window=int(rng.choice([3, 5])),
+        aggregation="sgm",
+        sgm_p1=p1,
+        sgm_p2=p1 + int(rng.integers(0, 120)),
+        lr_max_diff=int(rng.integers(0, 3)),
+        fill_iterations=int(rng.integers(0, 12)),
+    )
+    h = int(rng.integers(12, 48))
+    w = int(rng.integers(20, 72))
+    left, right = synthetic_pair(h=h, w=w, seed=seed + 7)
+    l, r = left.astype(np.int32), right.astype(np.int32)
+    want = modern_forward(l, r, params, use_pallas=False)
+    got = modern_forward(l, r, params, use_pallas=True)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]),
+            err_msg=f"{k} {params} h={h} w={w}",
+        )
