@@ -341,11 +341,16 @@ def _sgm_forward_batched_pallas(
     batch rides the kernel's lane axis (sgm_aggregate_pallas), where
     the latency-bound recurrence's per-step cost is nearly flat, so B
     pairs cost close to one.  The d-major volume is built contiguous
-    then relayouted by sgm_aggregate_pallas — building the scan-major
-    layouts directly from the census planes (_sgm_scan_major_volumes)
-    measured SLOWER on chip (12.0 vs 9.4 ms/pair at 1 MP x 64 d b16:
-    XLA's transposed stack writes run below its optimized transpose);
-    the argmin/LR tail is the fused kernel (sgm_tail_pallas)."""
+    then relayouted by sgm_aggregate_pallas; the argmin/LR tail is the
+    fused kernel (sgm_tail_pallas).
+
+    Building the scan-major layouts directly measured SLOWER on chip
+    BOTH ways (1 MP x 64 d, batch 16, vs 9.3 ms/pair): transposing each
+    cost plane into place 12.0 (XLA transposed stack writes), and
+    pre-transposing the census operands so both volumes write
+    contiguously 11.7 (the cost expression evaluates twice and the
+    transposed-operand reads lose more than the relayout saves).  The
+    contiguous d-major build + XLA's optimized transposes stand."""
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
     small = _sgm_fits_int16(params)
