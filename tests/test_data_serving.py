@@ -222,3 +222,21 @@ def test_loader_feeds_matcher(dataset_root):
         assert out["output-0"].shape == (4, 32, 48)
         total += count
     assert total == 6
+
+
+def test_modern_matcher_sgm_tiers_agree_batched():
+    """The serving surface drives the full Pallas SGM route (batched
+    kernels) and must match the XLA tier bit for bit, single pair and
+    batch."""
+    params = ModernParams(num_disparities=8, aggregation="sgm")
+    left, right = synthetic_pair(h=24, w=32, seed=9)
+    xla = ModernMatcher(params, tier="xla")(left, right)
+    pal = ModernMatcher(params, tier="pallas")(left, right)
+    for k in xla:
+        np.testing.assert_array_equal(xla[k], pal[k], err_msg=k)
+    lb = np.stack([left, np.flipud(left)])
+    rb = np.stack([right, np.flipud(right)])
+    xb = ModernMatcher(params, tier="xla")(lb, rb)
+    pb = ModernMatcher(params, tier="pallas")(lb, rb)
+    for k in xb:
+        np.testing.assert_array_equal(xb[k], pb[k], err_msg=k)
