@@ -32,6 +32,7 @@ SGM = [
     ("int16 storage\nbatch 8", 20.3),
     ("fused tail\n+ fill", 13.7),
     ("chunk-major\n+ fold (b16)", 9.42),
+    ("batch 28\n(HBM ceiling)", 8.66),
 ]
 
 # Size sweep (tools/size_sweep_tpu.py) vs the reference CUDA-ghost
