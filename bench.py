@@ -23,6 +23,7 @@ matches + sw^2 box adds + 2D score/argmax + 1 winner + times diffusion +
 
 Usage: python bench.py [--size 1024] [--disparities 64] [--batch 8]
                        [--iters 3] [--mode ghost] [--pallas]
+                       [--pipeline classic|sgm]
 """
 
 from __future__ import annotations
@@ -44,10 +45,17 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--disparities", type=int, default=64)
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=256,
+                   help="256 is the classic headline sweet spot (1.14 "
+                        "ms/pair; 384+ exhausts HBM with the bench's 4 "
+                        "resident input sets); SGM tops out at 28")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="ghost")
+    p.add_argument("--pipeline", choices=["classic", "sgm"], default="classic",
+                   help="sgm benches the modern pipeline's Semi-Global "
+                        "Matching route (census cost; --batch 16-28 is "
+                        "its HBM-bound sweet spot at 1 MP x 64 d)")
     p.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=True,
                    help="route the hot phases through the Pallas kernels "
                         "(--no-pallas for the pure-XLA tier)")
@@ -81,33 +89,53 @@ def main() -> None:
     )
     h = w = args.size
 
-    def step(left, right):
-        out = classic_forward_batched(
-            left, right, params, use_pallas=args.pallas,
-            tile_rows=args.tile_rows,
+    if args.pipeline == "sgm":
+        from stereomatching_tpu.config import ModernParams
+        from stereomatching_tpu.models.modern import modern_forward
+
+        mparams = ModernParams(
+            num_disparities=args.disparities, aggregation="sgm",
+            cost="census",
         )
-        # Small checksum only: forces full computation, avoids shipping
-        # result planes through the device tunnel.
-        return (
-            out["web-2"].sum()
-            + out["output-0"].sum()
-            + out["score_best"].sum()
-            + out["edges-1"].sum()
-        )
+
+        def step(left, right):
+            out = modern_forward(left, right, mparams,
+                                 use_pallas=args.pallas)
+            return sum(
+                v.sum().astype(jnp.float32) for v in out.values()
+            ).astype(jnp.int32)
+    else:
+
+        def step(left, right):
+            out = classic_forward_batched(
+                left, right, params, use_pallas=args.pallas,
+                tile_rows=args.tile_rows,
+            )
+            # Small checksum only: forces full computation, avoids
+            # shipping result planes through the device tunnel.
+            return (
+                out["web-2"].sum()
+                + out["output-0"].sum()
+                + out["score_best"].sum()
+                + out["edges-1"].sum()
+            )
 
     step = jax.jit(step)
 
     # Distinct device-resident batches per timed iteration.
     rng = np.random.default_rng(0)
     n_batches = args.warmup + args.iters
-    lefts = [
-        jnp.asarray(rng.integers(0, 256, (args.batch, h, w)).astype(np.float32) / 256.0)
-        for _ in range(n_batches)
-    ]
-    rights = [
-        jnp.asarray(rng.integers(0, 256, (args.batch, h, w)).astype(np.float32) / 256.0)
-        for _ in range(n_batches)
-    ]
+    pix = rng.integers  # pixel batches; the SGM route takes int 0..255
+    if args.pipeline == "sgm":
+        def make():
+            return jnp.asarray(
+                pix(0, 256, (args.batch, h, w)).astype(np.int32))
+    else:
+        def make():
+            return jnp.asarray(
+                pix(0, 256, (args.batch, h, w)).astype(np.float32) / 256.0)
+    lefts = [make() for _ in range(n_batches)]
+    rights = [make() for _ in range(n_batches)]
     jax.block_until_ready((lefts, rights))
 
     acc = 0
@@ -150,7 +178,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"stereo_pairs_per_sec_per_chip_{h}x{w}_{args.disparities}d",
+                "metric": (
+                    f"stereo_pairs_per_sec_per_chip_{h}x{w}_"
+                    f"{args.disparities}d"
+                    + ("_sgm" if args.pipeline == "sgm" else "")
+                ),
                 "value": round(fps, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(fps / baseline_fps, 4),
