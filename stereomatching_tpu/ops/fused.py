@@ -668,16 +668,18 @@ def _auto_tile_rows(
     256 measured fastest at 1 MP for small grids (better MXU M-dim
     utilization than 128), but large batch grids raise Mosaic's scoped
     VMEM high-water mark (output-window double buffering across grid
-    steps): 256-row tiles at W=1024, D=64 abort at batch >= 32 while
-    192-row tiles run the full batch-128 bench (and measured FASTER
-    there — 1.93 ms/pair vs 2.8+ at 256).  So the cap is 256 for small
-    grids, 192 once the batch dimension is >= 32.  Callers needing a
-    specific tiling pass ``tile_rows`` explicitly (plumbed through
-    classic_forward / build_classic_pipeline / bench.py --tile-rows)."""
+    steps): 256-row tiles at W=1024, D=64 abort at batch >= 32, while
+    224-row tiles run the full batch-256 bench and measured fastest
+    there (late round 2 A/B at batch 256: 1.10 ms/pair vs 1.12 at 192
+    and worse at 160; batch 128 at 224: 1.20).  So the cap is 256 for
+    small grids, 224 once the batch dimension is >= 32.  Callers
+    needing a specific tiling pass ``tile_rows`` explicitly (plumbed
+    through classic_forward / build_classic_pipeline / bench.py
+    --tile-rows)."""
     pad_half = _round_up(half, 4)
     lw_l = _round_up(w + 2 * half, 128)
     lw_r = _round_up(w + 2 * half + num_shifts, 128)
-    tile = 192 if batch >= 32 else 256
+    tile = 224 if batch >= 32 else 256
     while tile > 8:
         rows = tile + 2 * pad_half
         est = (

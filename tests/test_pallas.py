@@ -115,8 +115,8 @@ def test_auto_tile_rows_batch_aware():
 
     assert _auto_tile_rows(1024, 10, 64, batch=1) == 256
     assert _auto_tile_rows(1024, 10, 64, batch=16) == 256
-    assert _auto_tile_rows(1024, 10, 64, batch=32) == 192
-    assert _auto_tile_rows(1024, 10, 64, batch=128) == 192
+    assert _auto_tile_rows(1024, 10, 64, batch=32) == 224
+    assert _auto_tile_rows(1024, 10, 64, batch=128) == 224
     # Very wide images still shrink below the cap to fit the budget.
     assert _auto_tile_rows(7680, 10, 64, batch=1) < 256
     # And the tile_rows override plumbs through the public entry.

@@ -23,7 +23,7 @@ CLASSIC = [
     ("chunked band", 1.72),
     ("single kernel", 1.66),
     ("round-2 final", 1.33),
-    ("batch 256", 1.14),
+    ("batch 256\ntile 224", 1.10),
 ]
 
 # SGM progression, 1 MP x 64 d, ms/pair (docs/BENCHMARKS.md).
