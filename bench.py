@@ -45,10 +45,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--disparities", type=int, default=64)
-    p.add_argument("--batch", type=int, default=256,
-                   help="256 is the classic headline sweet spot (1.14 "
-                        "ms/pair; 384+ exhausts HBM with the bench's 4 "
-                        "resident input sets); SGM tops out at 28")
+    p.add_argument("--batch", type=int, default=None,
+                   help="default 256 for classic (the headline sweet "
+                        "spot; 384+ exhausts HBM with the bench's 4 "
+                        "resident input sets) and 28 for sgm (its HBM "
+                        "ceiling; 32 OOMs)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="ghost")
@@ -68,6 +69,8 @@ def main() -> None:
                         "utilization vs speed-of-light) to stderr; "
                         "stdout stays the single headline line")
     args = p.parse_args()
+    if args.batch is None:
+        args.batch = 28 if args.pipeline == "sgm" else 256
 
     import os
 
