@@ -210,7 +210,7 @@ def _sgm_volume(
 
 
 def _sgm_tail_fused(
-    agg: jnp.ndarray, params: ModernParams
+    agg: jnp.ndarray, params: ModernParams, real_width: int | None = None
 ) -> Dict[str, jnp.ndarray]:
     """The SGM tail on a disparity-major aggregated volume via the
     fused Pallas kernel (ops/fused_sgm.sgm_tail_pallas: one volume pass
@@ -221,7 +221,7 @@ def _sgm_tail_fused(
 
     from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
 
-    disp, sub, cost, dr = sgm_tail_pallas(agg)
+    disp, sub, cost, dr = sgm_tail_pallas(agg, real_width=real_width)
     batched = agg.ndim == 4
     lr = functools.partial(
         lr_consistency,
@@ -301,9 +301,9 @@ def _sgm_forward(
         agg = sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
             small_values=small, layout="dhw",
-            out_dtype=_sgm_out_dtype(params),
+            out_dtype=_sgm_out_dtype(params), tail_padded=True,
         )
-        return _sgm_tail_fused(agg, params)
+        return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
     vol = _sgm_volume(left, right, params)
     agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
     return _sgm_tail(agg, params)
@@ -363,9 +363,9 @@ def _sgm_forward_batched_pallas(
     agg = sgm_aggregate_pallas(
         vol, params.sgm_p1, params.sgm_p2,
         small_values=small, layout="dhw",
-        out_dtype=_sgm_out_dtype(params),
+        out_dtype=_sgm_out_dtype(params), tail_padded=True,
     )
-    return _sgm_tail_fused(agg, params)
+    return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
 
 
 def modern_forward(

@@ -178,6 +178,7 @@ def sgm_directional_pallas(
     interpret: bool | None = None,
     add_to: jnp.ndarray | None = None,
     chunk_lanes: int | None = None,
+    donate_volume: bool = False,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -196,7 +197,16 @@ def sgm_directional_pallas(
     auto, 0 = full-plane).  Chunk-major runs each lane chunk through
     the whole strip with register-class carries — measured ~1.7-2.2x
     the full-plane form on chip, whose every step op stages through
-    VMEM (tools/sgm_dir_probe.py ablation)."""
+    VMEM (tools/sgm_dir_probe.py ablation).
+
+    ``donate_volume``: alias the volume operand to the output
+    (in-place when the caller's volume is otherwise dead, e.g. the
+    reverse pass of each axis — XLA inserts a copy if it is still
+    live).  Grid step s reads exactly the block it writes, and the
+    write-back of step s never overlaps the prefetch of step s+1 (a
+    different block), so aliasing is race-free.  At 1 MP x 64 d this
+    removes one volume-sized buffer per axis from peak HBM — the SGM
+    batch ceiling's binding constraint (docs/BENCHMARKS.md)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s, d, p = vol.shape
@@ -250,6 +260,7 @@ def sgm_directional_pallas(
         scratch_shapes=[pltpu.VMEM((dp, pp), io_dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
+        input_output_aliases={0: 0} if donate_volume else {},
     )(*operands)
     return out[:s, :d, :p]
 
@@ -540,10 +551,17 @@ def _tail_kernel(
     jax.lax.fori_loop(0, wo // chunk, chunk_body, 0)
 
 
+def tail_lane_pad(d: int) -> int:
+    """Lane padding the tail kernel's re-projection windows need past
+    the real width: the full slide reach, lane-tile rounded."""
+    return _round_up(d, 128)
+
+
 def sgm_tail_pallas(
     vol: jnp.ndarray,
     interpret: bool | None = None,
     row_strip: int = 64,
+    real_width: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused SGM tail over a disparity-major aggregated volume
     [(B,) D, H, W] (int16 or int32) -> (disparity int32, subpixel f32,
@@ -554,23 +572,40 @@ def sgm_tail_pallas(
     the volume: those XLA D-step scans read the volume twice and
     materialize an edge-extended copy for the re-projection; here every
     strip block is DMA'd once and all four planes fall out of the same
-    loop."""
+    loop.
+
+    ``real_width``: the volume arrives ALREADY edge-padded to
+    round_up(real_width, 128) + tail_lane_pad(d) lanes (the producer
+    folded the pad into its own output fusion, e.g.
+    aggregate_from_scan_major(tail_padded=True)) — skips this
+    function's full-volume pad copy, the peak-HBM straw at large
+    batch."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
     b, d, h, w = vol.shape
+    if real_width is not None:
+        if w != _round_up(real_width, 128) + tail_lane_pad(d):
+            raise ValueError(
+                f"pre-padded volume width {w} does not match "
+                f"real_width {real_width} + pad"
+            )
+        w = real_width
     hc = min(row_strip, _round_up(h, 16))
     hp = _round_up(h, hc)
     # Lane pad: every output chunk's window needs the full slide reach
     # past it, edge-replicated so rotated-in values ARE the clamped
     # re-projection reads (lane-tile rounded).
     wo = _round_up(w, 128)
-    wp = wo + _round_up(d, 128)
-    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
-    vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),
-                    mode="edge")
+    wp = wo + tail_lane_pad(d)
+    if real_width is not None:
+        vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    else:
+        vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),
+                        mode="edge")
     kernel = functools.partial(_tail_kernel, d_count=d, wo=wo)
     n_strips = hp // hc
     out_spec = pl.BlockSpec(
@@ -608,6 +643,7 @@ def sgm_aggregate_pallas(
     bidirectional: bool = False,
     layout: str = "hwd",
     out_dtype=None,
+    tail_padded: bool = False,
 ) -> jnp.ndarray:
     """4-direction SGM aggregation of an int32 cost volume [H, W, D]
     (or a batch [B, H, W, D]) -> int32, same shape; bit-identical to
@@ -661,7 +697,7 @@ def sgm_aggregate_pallas(
     out = aggregate_from_scan_major(
         vol_v, vol_h, b, p1=p1, p2=p2, interpret=interpret,
         small_values=small_values, bidirectional=bidirectional,
-        out_dtype=out_dtype, layout=layout,
+        out_dtype=out_dtype, layout=layout, tail_padded=tail_padded,
     )
     return out[0] if squeeze else out
 
@@ -677,6 +713,7 @@ def aggregate_from_scan_major(
     bidirectional: bool = False,
     out_dtype=None,
     layout: str = "dhw",
+    tail_padded: bool = False,
 ) -> jnp.ndarray:
     """sgm_aggregate_pallas's core on PRE-LAYOUTED scan-major volumes
     (``vol_v`` [H, D, B*W], ``vol_h`` [W, D, B*H]) — callers that can
@@ -684,7 +721,12 @@ def aggregate_from_scan_major(
     census planes) skip materializing the [B, D, H, W] volume and its
     two relayout transposes.  -> the 4-direction sum in ``layout``
     ([B, D, H, W] for "dhw", [B, H, W, D] for "hwd"), int32 or
-    ``out_dtype``."""
+    ``out_dtype``.
+
+    ``tail_padded`` (dhw only): emit the lane-padded layout
+    sgm_tail_pallas(real_width=w) consumes — the edge-replicated
+    re-projection pad rides the merge's own output fusion instead of
+    costing a second full-volume pad copy downstream."""
     h, d, bw = vol_v.shape
     w, _, bh = vol_h.shape
     b = batch
@@ -705,14 +747,33 @@ def aggregate_from_scan_major(
         )
         # The reverse pass folds the forward output into its stores
         # (exact: the per-axis sum is <= 2x the directional bound, which
-        # fits both io dtypes by the small_values contract).
-        lr = run(vol_h, reverse=True, add_to=run(vol_h)).astype(acc)
-        tb = run(vol_v, reverse=True, add_to=run(vol_v)).astype(acc)
+        # fits both io dtypes by the small_values contract) and reuses
+        # the then-dead volume buffer in place (donate_volume) — one
+        # volume less at peak HBM per axis, which is what capped the
+        # batch at 28 (docs/BENCHMARKS.md).
+        lr = run(vol_h, reverse=True, add_to=run(vol_h),
+                 donate_volume=True).astype(acc)
+        tb = run(vol_v, reverse=True, add_to=run(vol_v),
+                 donate_volume=True).astype(acc)
     if layout == "dhw":
         out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
             jnp.transpose(tb.reshape(h, d, b, w), (2, 1, 0, 3))
         )
+        if tail_padded:
+            # Edge-replicate to round_up(w,128) + tail_lane_pad(d)
+            # lanes inside this same expression: XLA fuses the
+            # concatenate with both transpose-add operands (the edge
+            # strip re-derives only the last real column), so the
+            # padded volume is the ONLY materialization.
+            pad = _round_up(w, 128) + tail_lane_pad(d) - w
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(out[..., w - 1 :],
+                                       (b, d, h, pad))],
+                axis=-1,
+            )
     else:
+        if tail_padded:
+            raise ValueError("tail_padded requires layout='dhw'")
         out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + (
             jnp.transpose(tb.reshape(h, d, b, w), (2, 0, 3, 1))
         )

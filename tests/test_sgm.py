@@ -167,6 +167,41 @@ class TestPallasSGM:
                 err_msg=f"pair {i}",
             )
 
+    def test_tail_padded_merge_matches_downstream_pad(self):
+        """tail_padded=True folds the tail's edge-replicated lane pad
+        into the merge fusion; the tail must produce the same bits from
+        either form (and the donated reverse-pass volume must not
+        change results — both are the production route at large batch,
+        models/modern._sgm_forward)."""
+        from stereomatching_tpu.ops.fused_sgm import (
+            sgm_aggregate_pallas,
+            sgm_tail_pallas,
+            tail_lane_pad,
+        )
+
+        rng = np.random.default_rng(23)
+        # W=150: neither a lane-tile multiple nor < 128 — the hard case
+        # for the folded edge pad.
+        vol = rng.integers(0, 200, size=(2, 19, 150, 11)).astype(np.int32)
+        dvol = jnp.asarray(np.transpose(vol, (0, 3, 1, 2)))  # [B, D, H, W]
+        plain = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw")
+        padded = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw",
+                                      tail_padded=True)
+        d, w = 11, 150
+        assert padded.shape[-1] == -(-w // 128) * 128 + tail_lane_pad(d)
+        np.testing.assert_array_equal(np.asarray(padded[..., :w]),
+                                      np.asarray(plain))
+        # Pad lanes must be the edge-replicated last real column.
+        np.testing.assert_array_equal(
+            np.asarray(padded[..., w:]),
+            np.broadcast_to(np.asarray(plain[..., w - 1 :]),
+                            padded[..., w:].shape),
+        )
+        want = sgm_tail_pallas(plain)
+        got = sgm_tail_pallas(padded, real_width=w)
+        for w_, g_ in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
+
     def test_aggregate_dhw_layout_bit_identical(self):
         """layout="dhw" (the tail-friendly disparity-major volume) must
         be the hwd result transposed, bit for bit."""
