@@ -131,11 +131,15 @@ class ModernParams:
     cost: str = "sad"  # "sad" | "census" (Hamming on census codes)
     census_window: int = 5  # census neighborhood (3 or 5)
     # Aggregation: "box" (windowed sum, fused scan/kernel) or "sgm"
-    # (4-path Semi-Global Matching over the materialized volume with
+    # (Semi-Global Matching over the materialized volume with
     # per-pixel costs; `window` is then unused).
     aggregation: str = "box"
     sgm_p1: int = 8  # SGM small-change penalty (|dd| == 1)
     sgm_p2: int = 96  # SGM jump penalty (|dd| > 1)
+    # 4 = two horizontal + two vertical paths (the common GPU/embedded
+    # simplification); 8 adds Hirschmüller's four diagonal paths
+    # (higher quality, ~2x the aggregation cost).
+    sgm_directions: int = 4
     median_filter: bool = False  # 3x3 median speckle removal before LR
 
     def __post_init__(self) -> None:
@@ -155,6 +159,8 @@ class ModernParams:
             raise ValueError("aggregation must be 'box' or 'sgm'")
         if self.sgm_p1 < 0 or self.sgm_p2 < self.sgm_p1:
             raise ValueError("need 0 <= sgm_p1 <= sgm_p2")
+        if self.sgm_directions not in (4, 8):
+            raise ValueError("sgm_directions must be 4 or 8")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -289,23 +289,25 @@ def _sgm_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-        # Disparity-major end to end: the volume is built d-major (and
-        # stored int16 when costs fit — half the build's HBM writes),
-        # the kernel relayouts cost the same from either side, and the
-        # fused tail kernel reads the (int16-summed) aggregate once.
-        small = _sgm_fits_int16(params)
-        vol = _sgm_volume(
-            left, right, params, layout="dhw",
-            dtype=jnp.int16 if small else jnp.int32,
-        )
+        # Disparity-major end to end: the volume is built d-major and
+        # stored in the narrowest exact dtype (bf16 lattice for census-
+        # class bounds, int16 storage otherwise — half the build's HBM
+        # writes either way), the kernel relayouts cost the same from
+        # either side, and the fused tail kernel reads the
+        # (int16-summed) aggregate once.
+        st = _sgm_storage_dtype(params)
+        vol = _sgm_volume(left, right, params, layout="dhw", dtype=st)
         agg = sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
-            small_values=small, layout="dhw",
+            small_values=st == jnp.int16, soft_values=st == jnp.bfloat16,
+            layout="dhw",
             out_dtype=_sgm_out_dtype(params), tail_padded=True,
+            directions=params.sgm_directions,
         )
         return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
     vol = _sgm_volume(left, right, params)
-    agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2)
+    agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2,
+                        directions=params.sgm_directions)
     return _sgm_tail(agg, params)
 
 
@@ -325,11 +327,32 @@ def _sgm_fits_int16(params: ModernParams) -> bool:
     return _sgm_cost_bound(params) + params.sgm_p2 < 16384
 
 
+def _sgm_fits_bf16(params: ModernParams) -> bool:
+    """Whether the directional recurrence can run on the bf16 LATTICE
+    (ops/fused_sgm._step_math_bf16): every intermediate integer must be
+    bf16-exact (<= 256).  The tightest bound is the folded per-axis
+    direction sum 2 * (max_cost + p2); census costs with the default
+    penalties (24 + 96 = 120) qualify, SAD (255 + p2) does not."""
+    return 2 * (_sgm_cost_bound(params) + params.sgm_p2) <= 256
+
+
+def _sgm_storage_dtype(params: ModernParams):
+    """Narrowest exact storage/lattice dtype for the SGM volume and
+    directional passes (bf16 lattice > int16 storage > int32)."""
+    if _sgm_fits_bf16(params):
+        return jnp.bfloat16
+    if _sgm_fits_int16(params):
+        return jnp.int16
+    return jnp.int32
+
+
 def _sgm_out_dtype(params: ModernParams):
-    """Narrowest exact dtype of the 4-direction aggregated SUM
-    (<= 4 * (max_cost + p2)): int16 halves the sum's HBM write and the
-    tail kernel's volume read for every standard census/SAD config."""
-    if 4 * (_sgm_cost_bound(params) + params.sgm_p2) < 2**15:
+    """Narrowest exact dtype of the aggregated direction SUM
+    (<= directions * (max_cost + p2)): int16 halves the sum's HBM write
+    and the tail kernel's volume read for every standard census/SAD
+    config."""
+    bound = params.sgm_directions * (_sgm_cost_bound(params) + params.sgm_p2)
+    if bound < 2**15:
         return jnp.int16
     return jnp.int32
 
@@ -353,17 +376,16 @@ def _sgm_forward_batched_pallas(
     contiguous d-major build + XLA's optimized transposes stand."""
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
-    small = _sgm_fits_int16(params)
+    st = _sgm_storage_dtype(params)
     vol = jax.vmap(
-        lambda l, r: _sgm_volume(
-            l, r, params, layout="dhw",
-            dtype=jnp.int16 if small else jnp.int32,
-        )
+        lambda l, r: _sgm_volume(l, r, params, layout="dhw", dtype=st)
     )(left, right)
     agg = sgm_aggregate_pallas(
         vol, params.sgm_p1, params.sgm_p2,
-        small_values=small, layout="dhw",
+        small_values=st == jnp.int16, soft_values=st == jnp.bfloat16,
+        layout="dhw",
         out_dtype=_sgm_out_dtype(params), tail_padded=True,
+        directions=params.sgm_directions,
     )
     return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
 

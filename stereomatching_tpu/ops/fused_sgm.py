@@ -47,10 +47,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2**28  # matches ops/sgm._BIG
+# bf16 padding sentinel: any value > the caller-asserted 256 bound works
+# (it only needs ORDER, not exactness: padded D rows must never win a
+# min).  512 and 512 +- p1/p2 neighborhoods stay > 256 under bf16
+# rounding, and pad-row L values only grow (L_pad = 512 + best - m with
+# best >= m), so the sentinel can never leak into real rows.
+_SOFT_BIG = 512
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _roll_lanes(x, shift):
+    """Lane roll that also legalizes for bf16: Mosaic has no sub-32-bit
+    lane rotates, so 16-bit lattices round-trip through f32 (exact for
+    the <= 512 integer values these kernels carry)."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift, 1)
+    return pltpu.roll(x.astype(jnp.float32), shift, 1).astype(x.dtype)
 
 
 def _kernel(
@@ -63,6 +78,8 @@ def _kernel(
     init_step: int,
     fold: bool = False,
     chunk_lanes: int | None = None,
+    lane_shift: int = 0,
+    lane_period: int = 0,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
     scratch is read once and written once per strip (not per column),
@@ -82,7 +99,14 @@ def _kernel(
     for the per-column c load and L store.  The full-plane form stages
     each of the ~14 step ops through VMEM (ablation: trivial step math
     still costs ~60% of the full step, tools/sgm_dir_probe.py), so the
-    movement floor, not arithmetic, dominates; chunking removes it."""
+    movement floor, not arithmetic, dominates; chunking removes it.
+
+    ``lane_shift`` (+-1, diagonal paths): the carry rolls by one lane
+    before each step — predecessor (s-1, x - lane_shift) — and lanes
+    whose predecessor crosses an image boundary (x % lane_period wraps)
+    take the all-sentinel column, collapsing the step to L = C exactly
+    (m = best = sentinel).  Lane chunks are not independent under a
+    shift, so the caller selects the full-plane walk (chunk_lanes=0)."""
     if fold:
         add_ref, out_ref, carry = rest
     else:
@@ -94,7 +118,30 @@ def _kernel(
     init_j = init_step % xc
     io_dt = out_ref.dtype
     narrow = io_dt == jnp.int16
+    soft = io_dt == jnp.bfloat16
+    # bf16 lattice: half the vector footprint per step op of the 16-bit
+    # integer storage AND no widen/narrow converts — exact by the
+    # caller's 2*(max_cost+p2) <= 256 contract (_step_math_bf16).
+    step_math = _step_math_bf16 if soft else _step_math
+    big = _SOFT_BIG if soft else _BIG
+
     pp = out_ref.shape[-1]
+
+    if lane_shift:
+        assert lane_shift in (-1, 1) and lane_period > 0
+        shape = (out_ref.shape[1], pp)
+        li = jax.lax.broadcasted_iota(jnp.int32, shape, 1) % lane_period
+        # Lanes whose predecessor x - lane_shift leaves the image (the
+        # lane roll would wrap into the previous/next pair or the lane
+        # pad) take the all-sentinel column: m = best = sentinel makes
+        # the step degenerate to exactly L = C (path start).
+        boundary = li == (0 if lane_shift == 1 else lane_period - 1)
+
+        def shift_carry(cv):
+            rolled = _roll_lanes(cv, lane_shift % pp)
+            return jnp.where(boundary, jnp.asarray(big, cv.dtype), rolled)
+    else:
+        shift_carry = None
 
     def run_chunks(init_at, chunk):
         n_chunks = pp // chunk
@@ -111,7 +158,7 @@ def _kernel(
                 if init_at == "all" or (init_at is not None and j <= init_at):
                     cv = c
                 else:
-                    cv = _step_math(cv, c, p1, p2, _BIG)
+                    cv = step_math(cv, c, p1, p2, big)
                 stored = cv.astype(io_dt) if narrow else cv
                 if fold:
                     stored = stored + add_ref[idx(j), :, sl]
@@ -127,7 +174,8 @@ def _kernel(
         # recurrence; "all" = every column copies (pad-only strip).
         # int16 is a STORAGE format: strips and the cross-strip carry
         # narrow losslessly (values < 2^15 by the int16-input contract);
-        # the in-strip recurrence value stays int32.
+        # the in-strip recurrence value stays int32.  bf16 IS the
+        # arithmetic format (no converts at all).
         cv = carry[...].astype(jnp.int32) if narrow else carry[...]
         for j in range(xc):
             c = vol_ref[idx(j)]
@@ -136,7 +184,8 @@ def _kernel(
             if init_at == "all" or (init_at is not None and j <= init_at):
                 cv = c
             else:
-                cv = _step_math(cv, c, p1, p2, _BIG)
+                prev = shift_carry(cv) if lane_shift else cv
+                cv = step_math(prev, c, p1, p2, big)
             stored = cv.astype(io_dt) if narrow else cv
             if fold:
                 # Same-dtype elementwise add (values bounded by the
@@ -179,14 +228,33 @@ def sgm_directional_pallas(
     add_to: jnp.ndarray | None = None,
     chunk_lanes: int | None = None,
     donate_volume: bool = False,
+    lane_shift: int = 0,
+    lane_period: int = 0,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
+
+    ``lane_shift`` (+-1, with ``lane_period`` = the image width the
+    lane axis tiles by, P = B * period): a DIAGONAL pass — the carry
+    rolls one lane per scan step (predecessor (s-1, x - lane_shift)),
+    with image-boundary lanes taking the no-predecessor L = C init.
+    Lane chunks are not independent under a shift, so diagonal passes
+    run the full-plane walk (slower per step than chunk-major, but only
+    the 4 diagonal directions of an 8-direction aggregation pay it).
 
     int16 input selects int16 strip/carry STORAGE (half the DMA
     traffic; arithmetic still int32 in-VMEM) — exact and bit-identical
     to the int32 path whenever max_cost + p2 < 16384, so the 16384
     padding sentinel never wins a min (caller contract).
+
+    bfloat16 input selects the bf16 LATTICE (_step_math_bf16): the same
+    16-bit DMA traffic as int16, but the recurrence runs in bf16
+    directly — half the vector footprint per step op and zero
+    widen/narrow converts on this latency-bound walk.  Exact (values
+    identical to the int32 path after float->int conversion) whenever
+    every intermediate integer fits bf16's 8 significand bits:
+    2 * (max_cost + p2) <= 256 (caller contract; the tightest of the
+    step/fold bounds).
 
     ``add_to`` (same shape/dtype, typically the opposite direction's
     output): the kernel returns L + add_to, folding the per-axis
@@ -210,16 +278,26 @@ def sgm_directional_pallas(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s, d, p = vol.shape
+    if lane_shift:
+        if lane_shift not in (-1, 1):
+            raise ValueError("lane_shift must be -1, 0 or 1")
+        if lane_period <= 0 or p % lane_period:
+            raise ValueError(
+                f"lane_period {lane_period} must tile the lane axis {p}"
+            )
+        chunk_lanes = 0  # chunks are not independent under a shift
     io16 = vol.dtype == jnp.int16
-    io_dt = jnp.int16 if io16 else jnp.int32
-    big_pad = 16384 if io16 else _BIG
-    dp = max(16 if io16 else 8, 1 << (d - 1).bit_length())  # pow2 min tree
+    soft = vol.dtype == jnp.bfloat16
+    io_dt = jnp.bfloat16 if soft else (jnp.int16 if io16 else jnp.int32)
+    big_pad = _SOFT_BIG if soft else (16384 if io16 else _BIG)
+    halfword = io16 or soft
+    dp = max(16 if halfword else 8, 1 << (d - 1).bit_length())  # pow2 min tree
     pp = _round_up(p, 128)
     # Strip size: keep in+out double buffers within ~32 MB of VMEM
     # (vmem_limit_bytes below raises the compiler's 16 MB default;
     # fewer, larger strips amortize per-grid-step overhead in this
     # latency-bound scan).
-    bytes_per_col = dp * pp * (2 if io16 else 4)
+    bytes_per_col = dp * pp * (2 if halfword else 4)
     xc = max(1, min(strip, (32 << 20) // (4 * bytes_per_col)))
     sp = _round_up(s, xc)
     vol_pad = jnp.pad(
@@ -236,6 +314,7 @@ def sgm_directional_pallas(
     kernel = functools.partial(
         _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse, init_step=init_step,
         fold=fold, chunk_lanes=chunk_lanes,
+        lane_shift=lane_shift, lane_period=lane_period,
     )
     if reverse:
         index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
@@ -267,16 +346,12 @@ def sgm_directional_pallas(
 
 def _roll_sub(x, shift):
     """Sublane roll that also legalizes for 16-bit dtypes: Mosaic has no
-    sub-32-bit rotates, but a sublane roll never mixes lanes, so a pair
-    of 16-bit lanes bitcast to one int32 lane rolls identically."""
+    sub-32-bit rotates and rejects shape-changing bitcasts in-kernel
+    (probed on the axon backend), so 16-bit lattices round-trip through
+    f32 — exact for the <= 512 integer values these kernels carry."""
     if x.dtype.itemsize == 4:
         return pltpu.roll(x, shift, 0)
-    assert x.dtype.itemsize == 2 and x.shape[-1] % 2 == 0
-    y = jax.lax.bitcast_convert_type(
-        x.reshape(x.shape[0], x.shape[1] // 2, 2), jnp.int32
-    )
-    y = pltpu.roll(y, shift, 0)
-    return jax.lax.bitcast_convert_type(y, x.dtype).reshape(x.shape)
+    return pltpu.roll(x.astype(jnp.float32), shift, 0).astype(x.dtype)
 
 
 def _min_over_d_bf16(x):
@@ -314,7 +389,13 @@ def _step_math_bf16(prev, c, p1, p2, big):
         jnp.minimum(prev, jnp.minimum(up, dn) + jnp.asarray(p1, prev.dtype)),
         m + jnp.asarray(p2, prev.dtype),
     )
-    return c + best - m
+    # c + (best - m), NOT (c + best) - m: best - m <= p2 is always a
+    # small exact integer, so the sum stays under the 256 bound even
+    # when m is the 512 no-predecessor sentinel (diagonal path
+    # boundaries inject an all-sentinel carry so that L degenerates to
+    # exactly c; (c + 512) - 512 would round).  Bit-identical for all
+    # in-bound values.
+    return c + (best - m)
 
 
 def _min_over_d(x):
@@ -352,125 +433,6 @@ def _step_math(prev, c, p1, p2, big):
     dn = jnp.where(di == 0, big, pltpu.roll(prev, 1, 0))
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
     return c + best - m
-
-
-def _kernel_bidir(
-    vf_ref,  # [xc, Dp, Pp] current forward strip
-    vb_ref,  # [xc, Dp, Pp] current backward strip (block n-1-s)
-    of_ref,
-    ob_ref,
-    carry_f,
-    carry_b,
-    *,
-    xc: int,
-    p1: int,
-    p2: int,
-    init_back: int,
-    big: int,
-):
-    s = pl.program_id(0)
-
-    dt = carry_f.dtype
-    narrow = dt == jnp.int16
-
-    def step(j, _):
-        # Forward and backward chains interleave in one loop: two
-        # independent dependency chains double the ILP of this
-        # latency-bound recurrence.  int16 is a STORAGE format (half
-        # the DMA traffic and strip count); arithmetic widens to int32
-        # (Mosaic has no int16 min) and narrows losslessly on store
-        # (values < 2^15 by the small_values contract).
-        pos = s * xc + j
-        cf = vf_ref[j]
-
-        @pl.when(pos == 0)
-        def _():
-            carry_f[...] = cf
-
-        @pl.when(pos > 0)
-        def _():
-            prev = carry_f[...]
-            c32 = cf.astype(jnp.int32) if narrow else cf
-            p32 = prev.astype(jnp.int32) if narrow else prev
-            nxt = _step_math(p32, c32, p1, p2, big)
-            carry_f[...] = nxt.astype(dt) if narrow else nxt
-
-        of_ref[j] = carry_f[...]
-
-        cb = vb_ref[xc - 1 - j]
-
-        @pl.when(pos <= init_back)
-        def _():
-            carry_b[...] = cb
-
-        @pl.when(pos > init_back)
-        def _():
-            prev = carry_b[...]
-            c32 = cb.astype(jnp.int32) if narrow else cb
-            p32 = prev.astype(jnp.int32) if narrow else prev
-            nxt = _step_math(p32, c32, p1, p2, big)
-            carry_b[...] = nxt.astype(dt) if narrow else nxt
-
-        ob_ref[xc - 1 - j] = carry_b[...]
-        return 0
-
-    # Unrolled: static j makes every block access a static index and
-    # lets Mosaic schedule the two chains' ops interleaved.
-    for j in range(xc):
-        step(j, 0)
-
-
-def sgm_bidirectional_pallas(
-    vol: jnp.ndarray,
-    p1: int,
-    p2: int,
-    strip: int = 8,
-    interpret: bool | None = None,
-    use_int16: bool = False,
-):
-    """Both directional passes over a scan-major volume [S, D, P] in ONE
-    kernel -> (L_forward, L_backward), each [S, D, P] in vol.dtype.
-
-    ``use_int16`` halves VMEM traffic and vector work; exact (and
-    bit-identical to the int32 path after widening) whenever
-    max_cost + p2 < 16384 — the padding sentinel 16384 then never wins
-    a min, exactly like the int32 _BIG."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    s, d, p = vol.shape
-    dt = jnp.int16 if use_int16 else jnp.int32
-    big = 16384 if use_int16 else _BIG
-    sub = 16 if use_int16 else 8
-    dp = max(sub, 1 << (d - 1).bit_length())  # pow2 for the min tree
-    pp = _round_up(p, 128)
-    bytes_per_col = dp * pp * (2 if use_int16 else 4)
-    xc = max(1, min(strip, (8 << 20) // (8 * bytes_per_col)))
-    sp = _round_up(s, xc)
-    vol_pad = jnp.pad(
-        vol.astype(dt),
-        ((0, sp - s), (0, dp - d), (0, pp - p)),
-        constant_values=big,
-    )
-    n_strips = sp // xc
-    kernel = functools.partial(
-        _kernel_bidir, xc=xc, p1=p1, p2=p2, init_back=sp - s, big=big
-    )
-    fwd_map = lambda i: (i, 0, 0)  # noqa: E731
-    bwd_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
-    blk = lambda m: pl.BlockSpec((xc, dp, pp), m, memory_space=pltpu.VMEM)  # noqa: E731
-    lf, lb = pl.pallas_call(
-        kernel,
-        grid=(n_strips,),
-        in_specs=[blk(fwd_map), blk(bwd_map)],
-        out_specs=[blk(fwd_map), blk(bwd_map)],
-        out_shape=[jax.ShapeDtypeStruct((sp, dp, pp), dt)] * 2,
-        scratch_shapes=[
-            pltpu.VMEM((dp, pp), dt),
-            pltpu.VMEM((dp, pp), dt),
-        ],
-        interpret=interpret,
-    )(vol_pad, vol_pad)
-    return lf[:s, :d, :p], lb[:s, :d, :p]
 
 
 _ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)
@@ -600,10 +562,8 @@ def sgm_tail_pallas(
     # re-projection reads (lane-tile rounded).
     wo = _round_up(w, 128)
     wp = wo + tail_lane_pad(d)
-    if real_width is not None:
-        vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
-    else:
-        vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    if real_width is None:
         vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),
                         mode="edge")
     kernel = functools.partial(_tail_kernel, d_count=d, wo=wo)
@@ -640,14 +600,17 @@ def sgm_aggregate_pallas(
     p2: int = 96,
     interpret: bool | None = None,
     small_values: bool = False,
-    bidirectional: bool = False,
+    soft_values: bool = False,
     layout: str = "hwd",
     out_dtype=None,
     tail_padded: bool = False,
+    directions: int = 4,
 ) -> jnp.ndarray:
-    """4-direction SGM aggregation of an int32 cost volume [H, W, D]
-    (or a batch [B, H, W, D]) -> int32, same shape; bit-identical to
-    ops/sgm.sgm_aggregate per pair.
+    """SGM aggregation of an int32 cost volume [H, W, D] (or a batch
+    [B, H, W, D]) -> int32, same shape; bit-identical to
+    ops/sgm.sgm_aggregate per pair.  ``directions``: 4 (default) or 8
+    (adds Hirschmüller's diagonal paths — the four extra passes ride
+    the vertical scan-major volume with a per-step carry lane shift).
 
     ``layout="dhw"`` takes and returns the disparity-major [(B,) D, H,
     W] instead — the scan-major relayouts cost the same from either
@@ -664,10 +627,12 @@ def sgm_aggregate_pallas(
     of this bandwidth-heavy stage; arithmetic stays int32 in VMEM, so
     results are bit-identical to the int32 path.
 
-    ``bidirectional`` interleaves both scan directions in one kernel;
-    bit-exact in interpret mode but measured SLOWER on chip (59.8 vs
-    40.3 ms — the interleaved unrolled body apparently spills), so it
-    is opt-in (docs/ROADMAP.md).
+    ``soft_values`` (caller asserts 2 * (max_cost + p2) <= 256, e.g.
+    census costs with standard penalties) selects the bf16 LATTICE for
+    the directional passes: the int16 path's halved DMA traffic PLUS
+    half the vector footprint per recurrence op and no widen/narrow
+    converts — same values as the int32 path (every intermediate
+    integer is bf16-exact under the bound).  Overrides small_values.
 
     ``out_dtype`` (default int32) narrows the summed output — exact
     when the caller's 4-direction sum bound 4*(max_cost + p2) fits the
@@ -677,8 +642,12 @@ def sgm_aggregate_pallas(
         raise ValueError("need 0 <= p1 <= p2")
     if layout not in ("hwd", "dhw"):
         raise ValueError(f"layout must be hwd or dhw, got {layout!r}")
+    if directions not in (4, 8):
+        raise ValueError("directions must be 4 or 8")
     if small_values and p2 >= 16384:
         small_values = False
+    if soft_values and 2 * p2 > 256:
+        soft_values = False
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
@@ -686,7 +655,10 @@ def sgm_aggregate_pallas(
         b, d, h, w = vol.shape
     else:
         b, h, w, d = vol.shape
-    vol = vol.astype(jnp.int16 if small_values else jnp.int32)
+    vol = vol.astype(
+        jnp.bfloat16 if soft_values
+        else (jnp.int16 if small_values else jnp.int32)
+    )
     # Scan-major layouts with the batch folded into lanes.
     if layout == "dhw":
         vol_v = jnp.transpose(vol, (2, 1, 0, 3)).reshape(h, d, b * w)
@@ -696,8 +668,9 @@ def sgm_aggregate_pallas(
         vol_h = jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d, b * h)
     out = aggregate_from_scan_major(
         vol_v, vol_h, b, p1=p1, p2=p2, interpret=interpret,
-        small_values=small_values, bidirectional=bidirectional,
+        small_values=small_values,
         out_dtype=out_dtype, layout=layout, tail_padded=tail_padded,
+        directions=directions,
     )
     return out[0] if squeeze else out
 
@@ -710,10 +683,10 @@ def aggregate_from_scan_major(
     p2: int = 96,
     interpret: bool | None = None,
     small_values: bool = False,
-    bidirectional: bool = False,
     out_dtype=None,
     layout: str = "dhw",
     tail_padded: bool = False,
+    directions: int = 4,
 ) -> jnp.ndarray:
     """sgm_aggregate_pallas's core on PRE-LAYOUTED scan-major volumes
     (``vol_v`` [H, D, B*W], ``vol_h`` [W, D, B*H]) — callers that can
@@ -726,39 +699,56 @@ def aggregate_from_scan_major(
     ``tail_padded`` (dhw only): emit the lane-padded layout
     sgm_tail_pallas(real_width=w) consumes — the edge-replicated
     re-projection pad rides the merge's own output fusion instead of
-    costing a second full-volume pad copy downstream."""
+    costing a second full-volume pad copy downstream.
+
+    The scan-major inputs are treated as DONATED: each axis's reverse
+    pass overwrites its then-dead volume in place (donate_volume), so
+    callers must not keep ``vol_v``/``vol_h`` live after this call —
+    XLA would silently reinstate the volume-sized defensive copy the
+    donation exists to remove."""
+    if tail_padded and layout != "dhw":
+        raise ValueError("tail_padded requires layout='dhw'")
     h, d, bw = vol_v.shape
     w, _, bh = vol_h.shape
     b = batch
     assert bw == b * w and bh == b * h, (vol_v.shape, vol_h.shape, b)
     acc = jnp.int32 if out_dtype is None else out_dtype
-    if bidirectional:
-        run = functools.partial(
-            sgm_bidirectional_pallas, p1=p1, p2=p2, interpret=interpret,
-            use_int16=small_values,
-        )
-        f_h, b_h = run(vol_h)
-        f_v, b_v = run(vol_v)
-        lr = f_h.astype(acc) + b_h.astype(acc)  # [W, D, B*H]
-        tb = f_v.astype(acc) + b_v.astype(acc)  # [H, D, B*W]
-    else:
-        run = functools.partial(
-            sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret
-        )
-        # The reverse pass folds the forward output into its stores
-        # (exact: the per-axis sum is <= 2x the directional bound, which
-        # fits both io dtypes by the small_values contract) and reuses
-        # the then-dead volume buffer in place (donate_volume) — one
-        # volume less at peak HBM per axis, which is what capped the
-        # batch at 28 (docs/BENCHMARKS.md).
-        lr = run(vol_h, reverse=True, add_to=run(vol_h),
-                 donate_volume=True).astype(acc)
-        tb = run(vol_v, reverse=True, add_to=run(vol_v),
-                 donate_volume=True).astype(acc)
+    run = functools.partial(
+        sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret
+    )
+    # The reverse pass folds the forward output into its stores
+    # (exact: the per-axis sum is <= 2x the directional bound, which
+    # fits both io dtypes by the small_values contract) and reuses
+    # the then-dead volume buffer in place (donate_volume) — one
+    # volume less at peak HBM per axis, which is what capped the
+    # batch at 28 (docs/BENCHMARKS.md).
+    lr = run(vol_h, reverse=True, add_to=run(vol_h),
+             donate_volume=True).astype(acc)
+    tb = run(vol_v, reverse=True, add_to=run(vol_v),
+             donate_volume=directions == 4).astype(acc)
+    diags = []
+    if directions == 8:
+        # The four diagonal paths ride the SAME vertical scan-major
+        # volume with a per-step carry lane shift.  Predecessors:
+        # r=(1,1) -> fwd shift +1; r=(1,-1) -> fwd shift -1;
+        # r=(-1,-1) -> rev shift -1; r=(-1,1) -> rev shift +1.
+        # Each opposing pair folds into one output like the axes do;
+        # the LAST pass over vol_v takes the donation.
+        dg = functools.partial(run, lane_period=w)
+        diags.append(dg(vol_v, lane_shift=-1, reverse=True,
+                        add_to=dg(vol_v, lane_shift=1)).astype(acc))
+        diags.append(dg(vol_v, lane_shift=1, reverse=True,
+                        add_to=dg(vol_v, lane_shift=-1),
+                        donate_volume=True).astype(acc))
     if layout == "dhw":
-        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
-            jnp.transpose(tb.reshape(h, d, b, w), (2, 1, 0, 3))
+        unfold_v = lambda x: jnp.transpose(  # noqa: E731
+            x.reshape(h, d, b, w), (2, 1, 0, 3)
         )
+        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 1, 3, 0)) + (
+            unfold_v(tb)
+        )
+        for dgs in diags:
+            out = out + unfold_v(dgs)
         if tail_padded:
             # Edge-replicate to round_up(w,128) + tail_lane_pad(d)
             # lanes inside this same expression: XLA fuses the
@@ -772,9 +762,12 @@ def aggregate_from_scan_major(
                 axis=-1,
             )
     else:
-        if tail_padded:
-            raise ValueError("tail_padded requires layout='dhw'")
-        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + (
-            jnp.transpose(tb.reshape(h, d, b, w), (2, 0, 3, 1))
+        unfold_v = lambda x: jnp.transpose(  # noqa: E731
+            x.reshape(h, d, b, w), (2, 0, 3, 1)
         )
+        out = jnp.transpose(lr.reshape(w, d, b, h), (2, 3, 0, 1)) + (
+            unfold_v(tb)
+        )
+        for dgs in diags:
+            out = out + unfold_v(dgs)
     return out

@@ -12,10 +12,13 @@ This is an inherently sequential recurrence along the scan direction but
 fully parallel across the perpendicular axis AND the disparity axis, so
 each direction is one ``lax.scan`` whose step does vector ops on an
 [perp, D] plane — the compiler-friendly shape (no data-dependent
-control flow, static shapes).  Four directions (two horizontal, two
-vertical) are summed; diagonal paths add little accuracy for their cost
-and are omitted (the common embedded/GPU simplification, e.g. the
-FP-Stereo / GPU-SGM literature).
+control flow, static shapes).  The default sums four directions (two
+horizontal, two vertical) — the common embedded/GPU simplification.
+``directions=8`` adds Hirschmüller's four diagonal paths: a diagonal is
+the SAME row-wise scan as a vertical pass with the carry shifted one
+column per row; cells with no in-image predecessor degenerate to
+L = C, realized by shifting in an all-_BIG carry column (m = best =
+_BIG makes the recurrence collapse to C exactly).
 
 All arithmetic is int32 and exact; for the usual census costs
 (<= 24 per pixel) the summed aggregate stays far below overflow.
@@ -55,14 +58,47 @@ def _directional(vol: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, 1)
 
 
+def _directional_diag(vol: jnp.ndarray, p1: int, p2: int, dx: int) -> jnp.ndarray:
+    """One diagonal top-to-bottom pass with predecessor (y-1, x-dx).
+    vol [H, W, D] -> L [H, W, D].  Identical step math to
+    ``_directional``; the carry (the previous ROW's L, [W, D]) shifts
+    by ``dx`` columns per row, and columns whose predecessor falls
+    outside the image get an all-_BIG carry (m = best = _BIG collapses
+    the step to L = C, the path-start value)."""
+
+    def step(carry, c_row):
+        # carry, c_row: [W, D]
+        if dx == 1:
+            shifted = jnp.pad(carry[:-1], ((1, 0), (0, 0)),
+                              constant_values=_BIG)
+        else:
+            shifted = jnp.pad(carry[1:], ((0, 1), (0, 0)),
+                              constant_values=_BIG)
+        m = shifted.min(axis=-1, keepdims=True)
+        up = jnp.pad(shifted[:, 1:], ((0, 0), (0, 1)), constant_values=_BIG)
+        dn = jnp.pad(shifted[:, :-1], ((0, 0), (1, 0)), constant_values=_BIG)
+        best = jnp.minimum(
+            jnp.minimum(shifted, jnp.minimum(up, dn) + p1), m + p2
+        )
+        out = c_row + best - m
+        return out, out
+
+    init = vol[0]
+    _, rest = jax.lax.scan(step, init, vol[1:])
+    return jnp.concatenate([init[None], rest], axis=0)
+
+
 def sgm_aggregate(
-    vol: jnp.ndarray, p1: int = 8, p2: int = 96
+    vol: jnp.ndarray, p1: int = 8, p2: int = 96, directions: int = 4
 ) -> jnp.ndarray:
-    """4-direction SGM aggregation of an int32 cost volume [H, W, D]
-    (left→right, right→left, top→bottom, bottom→top) -> int32 [H, W, D].
+    """SGM aggregation of an int32 cost volume [H, W, D] -> int32, same
+    shape.  ``directions``: 4 (left→right, right→left, top→bottom,
+    bottom→top — the default) or 8 (adds the four diagonal paths).
     P1 penalizes ±1 disparity changes along a path, P2 larger jumps."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
+    if directions not in (4, 8):
+        raise ValueError("directions must be 4 or 8")
     vol = vol.astype(jnp.int32)
     lr = _directional(vol, p1, p2)
     rl = jnp.flip(_directional(jnp.flip(vol, axis=1), p1, p2), axis=1)
@@ -71,7 +107,19 @@ def sgm_aggregate(
     bt = jnp.swapaxes(
         jnp.flip(_directional(jnp.flip(vol_t, axis=1), p1, p2), axis=1), 0, 1
     )
-    return lr + rl + tb + bt
+    out = lr + rl + tb + bt
+    if directions == 8:
+        flip_y = lambda v: jnp.flip(v, axis=0)  # noqa: E731
+        d1 = _directional_diag(vol, p1, p2, dx=1)  # r = (1, 1)
+        d2 = _directional_diag(vol, p1, p2, dx=-1)  # r = (1, -1)
+        # r = (-1, -1) / (-1, 1): bottom-to-top diagonals run as the
+        # same top-to-bottom pass on the y-flipped volume.  r=(-1,-1)'s
+        # predecessor (y+1, x+1) lands at (y'-1, x+1) after the flip,
+        # i.e. dx=-1; r=(-1,1)'s (y+1, x-1) lands at (y'-1, x-1) = dx=1.
+        d3 = flip_y(_directional_diag(flip_y(vol), p1, p2, dx=-1))
+        d4 = flip_y(_directional_diag(flip_y(vol), p1, p2, dx=1))
+        out = out + d1 + d2 + d3 + d4
+    return out
 
 
 def volume_argmin_subpixel(

@@ -212,16 +212,34 @@ def _sgm_step(carry, c, p1: int, p2: int):
     return c + best - m
 
 
-def _sgm_local_pass(rows, seed, seeded: bool, p1: int, p2: int):
+def _shift_x(carry, dx: int):
+    """Shift a [..., W, D] carry by ``dx`` columns (diagonal paths:
+    predecessor (y-1, x-dx)); columns whose predecessor falls outside
+    the image take an all-_BIG plane, collapsing the step to L = C —
+    exactly ops/sgm._directional_diag's padding."""
+    big = 2**28
+    pad0 = [(0, 0)] * (carry.ndim - 2)
+    if dx == 1:
+        return jnp.pad(carry[..., :-1, :], pad0 + [(1, 0), (0, 0)],
+                       constant_values=big)
+    return jnp.pad(carry[..., 1:, :], pad0 + [(0, 1), (0, 0)],
+                   constant_values=big)
+
+
+def _sgm_local_pass(rows, seed, seeded: bool, p1: int, p2: int, dx: int = 0):
     """Directional SGM over this shard's rows [hs, ...inner..., D] in
     processing order.  ``seeded``: continue from the previous shard's
     carry (``seed``); else the first row initializes the recurrence
-    (ops/sgm._directional's init).  -> (L rows, final carry)."""
+    (ops/sgm._directional's init).  ``dx``: diagonal paths shift the
+    carry (including the cross-shard seed) one column per row.
+    -> (L rows, final carry; the carry is UNSHIFTED — the consumer
+    shifts at consumption, so shard hand-off is position-agnostic)."""
     first = rows[0]
-    init = _sgm_step(seed, first, p1, p2) if seeded else first
+    shift = (lambda c: _shift_x(c, dx)) if dx else (lambda c: c)
+    init = _sgm_step(shift(seed), first, p1, p2) if seeded else first
     if rows.shape[0] > 1:
         def step(carry, c):
-            out = _sgm_step(carry, c, p1, p2)
+            out = _sgm_step(shift(carry), c, p1, p2)
             return out, out
 
         _, rest = jax.lax.scan(step, init, rows[1:])
@@ -231,10 +249,14 @@ def _sgm_local_pass(rows, seed, seeded: bool, p1: int, p2: int):
     return out, out[-1]
 
 
-def _sgm_vertical_sharded(vol, p1: int, p2: int, n_rows: int):
-    """Both vertical SGM passes over a row-sharded volume.  ``vol``:
+def _sgm_vertical_sharded(vol, p1: int, p2: int, n_rows: int,
+                          dx_tb: int = 0, dx_bt: int = 0):
+    """Both y-crossing SGM passes over a row-sharded volume.  ``vol``:
     local [bl, hs, W, D] block.  -> (top_down, bottom_up), same shape,
-    bit-identical to the unsharded scans.
+    bit-identical to the unsharded scans.  ``dx_tb``/``dx_bt``: carry
+    column shift per row for DIAGONAL paths (0 = the vertical pair);
+    the shift is intra-shard, so diagonals shard exactly like
+    verticals.
 
     The y recurrence crosses shard boundaries, so the passes run as
     ``n_rows`` phases with a [bl, W, D] carry handed to the next shard
@@ -258,11 +280,11 @@ def _sgm_vertical_sharded(vol, p1: int, p2: int, n_rows: int):
 
         def run_tb(out, carry, seed):
             del out, carry
-            return _sgm_local_pass(rows_tb, seed, seeded, p1, p2)
+            return _sgm_local_pass(rows_tb, seed, seeded, p1, p2, dx=dx_tb)
 
         def run_bt(out, carry, seed):
             del out, carry
-            return _sgm_local_pass(rows_bt, seed, seeded, p1, p2)
+            return _sgm_local_pass(rows_bt, seed, seeded, p1, p2, dx=dx_bt)
 
         keep = lambda out, carry, seed: (out, carry)  # noqa: E731
         out_tb, carry_tb = jax.lax.cond(
@@ -352,14 +374,14 @@ def _sgm_shard_forward(
     if use_pallas:
         from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
 
-        from stereomatching_tpu.models.modern import _sgm_fits_int16
+        from stereomatching_tpu.models.modern import _sgm_storage_dtype
 
         # Scan-major [W, D, bl*hs]: the batch and local rows are
         # independent scan lanes, so folding them into P keeps the
-        # kernel's per-step vector work wide.  int16 storage (when the
-        # recurrence bound fits) halves the kernel's DMA traffic;
-        # arithmetic stays int32, results bit-identical.
-        sdt = jnp.int16 if _sgm_fits_int16(params) else jnp.int32
+        # kernel's per-step vector work wide.  Narrow storage (bf16
+        # lattice for census-class bounds, int16 otherwise) halves the
+        # kernel's DMA traffic; values bit-identical after widening.
+        sdt = _sgm_storage_dtype(params)
         vol_h = (
             jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d_count, bl * hs)
         ).astype(sdt)
@@ -377,6 +399,16 @@ def _sgm_shard_forward(
         )
     tb_pass, bt_pass = _sgm_vertical_sharded(vol, p1, p2, n_rows)
     agg = lr_pass + rl_pass + tb_pass + bt_pass
+    if params.sgm_directions == 8:
+        # Diagonal paths: the carry shift is x-only (intra-shard), so
+        # each diagonal pair runs the same phased chain as the
+        # verticals.  dx pairs mirror ops/sgm.sgm_aggregate: r=(1,1)
+        # with r=(-1,-1) (tb dx=1 / bt dx=-1), r=(1,-1) with r=(-1,1).
+        d1, d3 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
+                                       dx_tb=1, dx_bt=-1)
+        d2, d4 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
+                                       dx_tb=-1, dx_bt=1)
+        agg = agg + d1 + d2 + d3 + d4
 
     disp, sub, cost = jax.vmap(volume_argmin_subpixel)(agg)
     dr = jax.vmap(right_disparity_from_left_volume)(agg)

@@ -54,6 +54,50 @@ def test_aggregate_is_direction_sum():
     np.testing.assert_array_equal(got, lr + rl + tb + bt)
 
 
+def _brute_diag(vol, p1, p2, dy, dx):
+    """One diagonal SGM pass (predecessor (y-dy, x-dx)), literal loops;
+    no-predecessor cells are path starts (L = C)."""
+    h, w, d_count = vol.shape
+    out = np.zeros_like(vol)
+    ys = range(h) if dy == 1 else range(h - 1, -1, -1)
+    for y in ys:
+        for x in range(w):
+            py, px = y - dy, x - dx
+            if not (0 <= py < h and 0 <= px < w):
+                out[y, x] = vol[y, x]
+                continue
+            prev = out[py, px]
+            m = prev.min()
+            for d in range(d_count):
+                up = prev[d + 1] if d + 1 < d_count else BIG
+                dn = prev[d - 1] if d - 1 >= 0 else BIG
+                best = min(prev[d], min(up, dn) + p1, m + p2)
+                out[y, x, d] = vol[y, x, d] + best - m
+    return out
+
+
+@pytest.mark.parametrize("dx", [1, -1])
+def test_directional_diag_matches_brute_force(dx):
+    from stereomatching_tpu.ops.sgm import _directional_diag
+
+    rng = np.random.default_rng(3)
+    vol = rng.integers(0, 30, size=(6, 9, 5)).astype(np.int32)
+    got = np.asarray(_directional_diag(vol, 2, 11, dx=dx))
+    np.testing.assert_array_equal(got, _brute_diag(vol, 2, 11, 1, dx))
+
+
+def test_aggregate_eight_directions_is_sum():
+    rng = np.random.default_rng(4)
+    vol = rng.integers(0, 25, size=(6, 7, 5)).astype(np.int32)
+    p1, p2 = 3, 20
+    got = np.asarray(sgm_aggregate(vol, p1, p2, directions=8))
+    want = np.asarray(sgm_aggregate(vol, p1, p2))
+    for dy in (1, -1):
+        for dx in (1, -1):
+            want = want + _brute_diag(vol, p1, p2, dy, dx)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_volume_argmin_first_wins_and_subpixel():
     vol = np.full((1, 1, 5), 10, dtype=np.int32)
     vol[0, 0] = [9, 4, 4, 6, 10]  # tie at d=1,2 -> first wins
@@ -249,6 +293,87 @@ class TestPallasSGM:
         assert got.dtype == jnp.int16
         np.testing.assert_array_equal(np.asarray(got, dtype=np.int32),
                                       np.asarray(want))
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_directional_bf16_lattice_bit_identical(self, reverse):
+        """bfloat16 input selects the bf16 lattice (_step_math_bf16);
+        values (after float->int) must match the int32 path exactly
+        under the 2*(max_cost+p2) <= 256 contract."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(13)
+        # max_cost 24 (census-class), p2 96: every intermediate <= 240.
+        vol = rng.integers(0, 25, size=(15, 10, 140)).astype(np.int32)
+        want = sgm_directional_pallas(jnp.asarray(vol), 8, 96,
+                                      reverse=reverse, strip=4)
+        got = sgm_directional_pallas(
+            jnp.asarray(vol).astype(jnp.bfloat16), 8, 96,
+            reverse=reverse, strip=4)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int32), np.asarray(want))
+
+    def test_aggregate_soft_values_bit_identical(self):
+        """soft_values routes the whole 4-direction aggregation through
+        the bf16 lattice; the summed volume must match the int32 path
+        bit for bit (including the folded reverse pass and the dhw
+        tail-padded merge)."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(29)
+        vol = rng.integers(0, 25, size=(2, 9, 150, 11)).astype(np.int32)
+        dvol = jnp.asarray(np.transpose(vol, (0, 3, 1, 2)))
+        want = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw",
+                                    tail_padded=True)
+        got = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw",
+                                   tail_padded=True, soft_values=True,
+                                   out_dtype=jnp.int16)
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int32), np.asarray(want))
+        # Out-of-bound penalties must fall back (2*p2 > 256), not corrupt.
+        big_p2 = sgm_aggregate_pallas(dvol, 8, 200, layout="dhw",
+                                      soft_values=True)
+        ref_p2 = sgm_aggregate_pallas(dvol, 8, 200, layout="dhw")
+        np.testing.assert_array_equal(np.asarray(big_p2), np.asarray(ref_p2))
+
+    @pytest.mark.parametrize("storage", ["int32", "int16", "bf16"])
+    def test_aggregate_eight_directions_matches_xla(self, storage):
+        """directions=8 (diagonal lane-shift passes) must match the XLA
+        oracle bit for bit in every storage format."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(31)
+        vol = rng.integers(0, 25, size=(2, 9, 150, 11)).astype(np.int32)
+        want = np.stack([
+            np.asarray(sgm_aggregate(jnp.asarray(v), 8, 96, directions=8))
+            for v in vol
+        ])
+        dvol = jnp.asarray(np.transpose(vol, (0, 3, 1, 2)))
+        got = sgm_aggregate_pallas(
+            dvol, 8, 96, layout="dhw", directions=8,
+            small_values=storage == "int16", soft_values=storage == "bf16",
+        )
+        np.testing.assert_array_equal(
+            np.transpose(np.asarray(got), (0, 2, 3, 1)), want)
+
+    def test_modern_sgm_eight_directions_route(self):
+        """The full modern pipeline with sgm_directions=8: pallas and
+        XLA tiers must agree bit for bit."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(33)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        params = ModernParams(num_disparities=6, aggregation="sgm",
+                              cost="census", sgm_directions=8)
+        want = modern_forward(l, r, params)
+        got = modern_forward(l, r, params, use_pallas=True)
+        for key in ("disparity", "disparity_right", "valid", "cost"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key)
+        np.testing.assert_allclose(
+            np.asarray(got["subpixel"]), np.asarray(want["subpixel"]),
+            rtol=0, atol=0)
 
     def test_modern_sgm_batched_pallas_route(self):
         from stereomatching_tpu.models.modern import modern_forward

@@ -110,6 +110,17 @@ def test_sharded_modern_sgm_pallas_matches_single():
     _assert_equal(sharded, want)
 
 
+@pytest.mark.parametrize("rows", [4, 8])
+def test_sharded_modern_sgm_eight_directions_matches_single(rows):
+    # Diagonal paths: the carry's column shift is intra-shard, so the
+    # phased chain must stay bit-identical to the single-chip 8-path
+    # aggregation across shard boundaries.
+    params = ModernParams(num_disparities=8, aggregation="sgm",
+                          cost="census", sgm_directions=8)
+    sharded, want = _run_both(params, 1, rows, seed=19)
+    _assert_equal(sharded, want)
+
+
 def test_sharded_modern_validation():
     from stereomatching_tpu.parallel import sharded_modern_forward
 

@@ -81,6 +81,30 @@ def main() -> int:
         return lambda: sgm_directional_pallas(
             v, 8, 96, interpret=False, add_to=v, chunk_lanes=128)
 
+    def sgm_bf16(reverse):
+        # The bf16 lattice: costs clamped <= 24 (census-class) so every
+        # intermediate stays under the 256 bf16-exactness bound.
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.transpose(vol32 % 25, (1, 2, 0)).astype(jnp.bfloat16)
+        return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
+                                              interpret=False)
+
+    def sgm_bf16_chunked():
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.asarray(
+            rng.integers(0, 25, (16, 8, 640)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        return lambda: sgm_directional_pallas(
+            v, 8, 96, interpret=False, add_to=v, chunk_lanes=128)
+
+    def sgm_diag(dtype, lane_shift, reverse=False):
+        # Diagonal pass: full-plane walk + per-step carry lane shift.
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.transpose(vol32 % 25, (1, 2, 0)).astype(dtype)  # [W,D,H]
+        return lambda: sgm_directional_pallas(
+            v, 8, 96, reverse=reverse, interpret=False,
+            lane_shift=lane_shift, lane_period=v.shape[-1])
+
     def sgm_tail():
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
@@ -115,6 +139,12 @@ def main() -> int:
         "sgm-int16-fwd": sgm(jnp.int16, False),
         "sgm-int16-rev": sgm(jnp.int16, True),
         "sgm-chunked-fold": sgm_chunked(),
+        "sgm-bf16-fwd": sgm_bf16(False),
+        "sgm-bf16-rev": sgm_bf16(True),
+        "sgm-bf16-chunked": sgm_bf16_chunked(),
+        "sgm-diag-int32": sgm_diag(jnp.int32, 1),
+        "sgm-diag-int16-rev": sgm_diag(jnp.int16, -1, reverse=True),
+        "sgm-diag-bf16": sgm_diag(jnp.bfloat16, 1),
         "sgm-tail": sgm_tail(),
         "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),

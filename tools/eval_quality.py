@@ -38,6 +38,7 @@ def main() -> int:
     p.add_argument("--scales", type=int, default=1, choices=[1, 2])
     p.add_argument("--cost", default="sad", choices=["sad", "census"])
     p.add_argument("--aggregation", default="box", choices=["box", "sgm"])
+    p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8])
     p.add_argument("--gt-scale", type=float, default=None,
                    help="disparity = PNG value * scale (default: 1/256 "
                         "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
@@ -73,6 +74,7 @@ def main() -> int:
     params = ModernParams(
         num_disparities=args.disparities, window=args.window,
         scales=args.scales, cost=args.cost, aggregation=args.aggregation,
+        sgm_directions=args.sgm_directions,
     )
     fn = build_modern_pipeline(params)
     out = fn(left.astype(np.int32), right.astype(np.int32))
@@ -85,7 +87,8 @@ def main() -> int:
         "filled_all_pixels": report_filled,
         "params": {"disparities": args.disparities, "window": args.window,
                    "scales": args.scales, "cost": args.cost,
-                   "aggregation": args.aggregation},
+                   "aggregation": args.aggregation,
+                   "sgm_directions": args.sgm_directions},
     }, indent=2))
     return 0
 

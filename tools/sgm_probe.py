@@ -33,8 +33,8 @@ def main() -> None:
 
     from stereomatching_tpu.config import ModernParams
     from stereomatching_tpu.models.modern import (
-        _sgm_fits_int16,
         _sgm_forward_batched_pallas,
+        _sgm_storage_dtype,
         _sgm_tail_fused,
         _sgm_volume,
     )
@@ -63,19 +63,21 @@ def main() -> None:
               f"(batch {B}, {H}x{W}x{D}d, {args.cost}) checksum={acc:.0f}",
               flush=True)
 
-    small = _sgm_fits_int16(params)
+    sdt = _sgm_storage_dtype(params)
+    print(f"storage dtype: {jnp.dtype(sdt).name}")
 
     def vol_fn(l, r):
         return jax.vmap(
-            lambda a, b: _sgm_volume(a, b, params, layout="dhw")
+            lambda a, b: _sgm_volume(a, b, params, layout="dhw", dtype=sdt)
         )(l, r)
 
     def agg_fn(l, r):
         vol = vol_fn(l, r)
         return sgm_aggregate_pallas(
-            vol, params.sgm_p1, params.sgm_p2, small_values=small,
+            vol, params.sgm_p1, params.sgm_p2,
+            small_values=sdt == jnp.int16, soft_values=sdt == jnp.bfloat16,
             layout="dhw",
-        ).sum()
+        ).astype(jnp.float32).sum()
 
     def full_fn(l, r):
         out = _sgm_forward_batched_pallas(l, r, params)

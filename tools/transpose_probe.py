@@ -105,9 +105,12 @@ def main() -> None:
     rows = (
         ("A xlaT+pallas copy", mk(lambda v: cp(xla_tp(v)))),
         ("B pallas in-kernel T", mk(tp)),
-        # C feeds cp's (b, c, r) layout with an untransposed copy of
-        # the right shape: the no-transpose floor of the same traffic.
-        ("C pallas copy only (no T anywhere)",
+        # C feeds cp's (b, c, r) layout with an untransposed broadcast
+        # of the right shape.  NOTE: the broadcast feeding an opaque
+        # pallas_call materializes a full (b, c, r) buffer, so C pays
+        # the same extra HBM pass as A — it is "A minus the transpose
+        # arithmetic", NOT the copy-only traffic floor.
+        ("C A-minus-transpose-arith (same extra HBM pass as A)",
          mk(lambda v: cp(jnp.broadcast_to(v[:, :1, :1], (b, c, r))))),
     )
     for name, step in rows:
