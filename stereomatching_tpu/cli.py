@@ -68,8 +68,10 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument("--cost", choices=["sad", "census"], default="sad",
                    help="modern pipeline: matching cost")
     p.add_argument("--aggregation", choices=["box", "sgm"], default="box",
-                   help="modern pipeline: windowed box sum or 4-path "
+                   help="modern pipeline: windowed box sum or "
                         "Semi-Global Matching")
+    p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8],
+                   help="SGM path count: 4 (axes) or 8 (+diagonals)")
     p.add_argument("--median", action="store_true",
                    help="modern pipeline: 3x3 median speckle filter")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
@@ -210,7 +212,8 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     )
 
     kw = {"scales": args.scales, "cost": args.cost,
-          "aggregation": args.aggregation, "median_filter": args.median}
+          "aggregation": args.aggregation, "median_filter": args.median,
+          "sgm_directions": args.sgm_directions}
     if args.shifts is not None:
         kw["num_disparities"] = args.shifts
     if args.square_width is not None:

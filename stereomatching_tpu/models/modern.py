@@ -299,7 +299,7 @@ def _sgm_forward(
         vol = _sgm_volume(left, right, params, layout="dhw", dtype=st)
         agg = sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
-            small_values=st == jnp.int16, soft_values=st == jnp.bfloat16,
+            small_values=st == jnp.int16, tiny_values=st == jnp.int8,
             layout="dhw",
             out_dtype=_sgm_out_dtype(params), tail_padded=True,
             directions=params.sgm_directions,
@@ -327,6 +327,21 @@ def _sgm_fits_int16(params: ModernParams) -> bool:
     return _sgm_cost_bound(params) + params.sgm_p2 < 16384
 
 
+def _sgm_fits_int8(params: ModernParams) -> bool:
+    """Whether the SGM volume and directional passes can use int8
+    STORAGE (quarter DMA traffic): every directional value
+    L <= max_cost + p2 must stay under the 127 sentinel, and
+    num_disparities must equal its power-of-2 sublane round-up
+    (>= 32) so no padded D rows exist to overflow int8 (see
+    ops/fused_sgm.sgm_directional_pallas)."""
+    d = params.num_disparities
+    return (
+        _sgm_cost_bound(params) + params.sgm_p2 < 127
+        and d >= 32
+        and d == 1 << (d - 1).bit_length()
+    )
+
+
 def _sgm_fits_bf16(params: ModernParams) -> bool:
     """Whether the directional recurrence can run on the bf16 LATTICE
     (ops/fused_sgm._step_math_bf16): every intermediate integer must be
@@ -337,10 +352,19 @@ def _sgm_fits_bf16(params: ModernParams) -> bool:
 
 
 def _sgm_storage_dtype(params: ModernParams):
-    """Narrowest exact storage/lattice dtype for the SGM volume and
-    directional passes (bf16 lattice > int16 storage > int32)."""
-    if _sgm_fits_bf16(params):
-        return jnp.bfloat16
+    """Narrowest exact storage dtype for the SGM volume and directional
+    passes: int8 (census-class bounds, power-of-2 D) > int16 > int32.
+
+    The bf16 lattice is deliberately NOT selected even where its 256
+    bound fits: measured END-TO-END on chip (1 MP x 64 d census, batch
+    28) bf16 ran 9.38 ms/pair vs int16's 8.57-8.66 — the walk itself is
+    ~1% faster in bf16 (3.92 vs 3.97 ms/dir) but the volume build's
+    int->float converts and the merge's float->int converts cost more
+    than the lattice saves, and Mosaic's lack of 16-bit rotates forces
+    f32 round-trips on every roll.  bf16 stays available via
+    sgm_aggregate_pallas(soft_values=True)."""
+    if _sgm_fits_int8(params):
+        return jnp.int8
     if _sgm_fits_int16(params):
         return jnp.int16
     return jnp.int32
@@ -382,7 +406,7 @@ def _sgm_forward_batched_pallas(
     )(left, right)
     agg = sgm_aggregate_pallas(
         vol, params.sgm_p1, params.sgm_p2,
-        small_values=st == jnp.int16, soft_values=st == jnp.bfloat16,
+        small_values=st == jnp.int16, tiny_values=st == jnp.int8,
         layout="dhw",
         out_dtype=_sgm_out_dtype(params), tail_padded=True,
         directions=params.sgm_directions,

@@ -34,6 +34,14 @@ values (1.7-2.2x the full-plane walk, which staged every step op's
 output into its stores (no XLA add pass); and the argmin/sub-pixel/
 right-view tail is its own one-pass kernel (sgm_tail_pallas) instead
 of three XLA volume passes.
+
+Round-3 additions: int8 STORAGE (quarter DMA traffic; census-class
+bounds, power-of-2 D), an opt-in bf16 lattice (measured end-to-end
+slower than int16 — see models/modern._sgm_storage_dtype), and
+DIAGONAL directions (``lane_shift``): an 8-path aggregation's four
+diagonals ride the same vertical scan-major volume with a one-lane
+carry roll per step, image boundaries injecting the all-sentinel
+column so the recurrence collapses to L = C exactly at path starts.
 """
 
 from __future__ import annotations
@@ -75,18 +83,18 @@ def _kernel(
     p1: int,
     p2: int,
     reverse: bool,
-    init_step: int,
     fold: bool = False,
     chunk_lanes: int | None = None,
     lane_shift: int = 0,
     lane_period: int = 0,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
-    scratch is read once and written once per strip (not per column),
-    and the carry re-initialization at the first real column (position
-    ``init_step``; leading pad columns of a reverse pass come first) is
-    resolved by a strip-level branch on the STATIC split point, so the
-    steady-state column loop has no conditionals at all.
+    scratch is read once and written once per strip (not per column).
+    The strip count always divides S (the caller picks a divisor, which
+    also keeps the host-side pad a no-op), so the recurrence init is
+    simply the first column of the first processed strip — a
+    strip-level branch, and the steady-state column loop has no
+    conditionals at all.
 
     ``fold``: a second input block (the opposite direction's already-
     computed pass) is ADDED to each stored column, so the kernel writes
@@ -114,11 +122,10 @@ def _kernel(
         add_ref = None
     s = pl.program_id(0)
     idx = (lambda j: xc - 1 - j) if reverse else (lambda j: j)
-    init_strip = init_step // xc
-    init_j = init_step % xc
-    io_dt = out_ref.dtype
-    narrow = io_dt == jnp.int16
-    soft = io_dt == jnp.bfloat16
+    io_dt = out_ref.dtype  # stored L (or folded-sum) dtype
+    st_dt = vol_ref.dtype  # strip/carry STORAGE dtype (int8/int16/bf16/int32)
+    soft = st_dt == jnp.bfloat16
+    narrow = st_dt != jnp.int32 and not soft
     # bf16 lattice: half the vector footprint per step op of the 16-bit
     # integer storage AND no widen/narrow converts — exact by the
     # caller's 2*(max_cost+p2) <= 256 contract (_step_math_bf16).
@@ -155,44 +162,52 @@ def _kernel(
                 c = vol_ref[idx(j), :, sl]
                 if narrow:
                     c = c.astype(jnp.int32)
-                if init_at == "all" or (init_at is not None and j <= init_at):
+                if init_at is not None and j == init_at:
                     cv = c
                 else:
                     cv = step_math(cv, c, p1, p2, big)
-                stored = cv.astype(io_dt) if narrow else cv
                 if fold:
-                    stored = stored + add_ref[idx(j), :, sl]
+                    # Sum in the wide domain, store in the fold dtype
+                    # (int16 when int8 storage can't hold the per-axis
+                    # sum; values bounded by 2*(max_cost+p2)).
+                    a = add_ref[idx(j), :, sl]
+                    if narrow:
+                        a = a.astype(jnp.int32)
+                    stored = (cv + a).astype(io_dt) if narrow else cv + a
+                else:
+                    stored = cv.astype(io_dt) if narrow else cv
                 out_ref[idx(j), :, sl] = stored
-            carry[:, sl] = cv.astype(io_dt) if narrow else cv
+            carry[:, sl] = cv.astype(st_dt) if narrow else cv
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
 
     def run_full(init_at):
-        # init_at: column index (within the strip, processing order)
-        # up to which the carry just copies the input; None = pure
-        # recurrence; "all" = every column copies (pad-only strip).
-        # int16 is a STORAGE format: strips and the cross-strip carry
-        # narrow losslessly (values < 2^15 by the int16-input contract);
-        # the in-strip recurrence value stays int32.  bf16 IS the
+        # init_at: the column (processing order) whose carry just
+        # copies the input (the recurrence init); None = pure
+        # recurrence.  int16/int8 are STORAGE formats: strips and the
+        # cross-strip carry narrow losslessly (caller contract); the
+        # in-strip recurrence value stays int32.  bf16 IS the
         # arithmetic format (no converts at all).
         cv = carry[...].astype(jnp.int32) if narrow else carry[...]
         for j in range(xc):
             c = vol_ref[idx(j)]
             if narrow:
                 c = c.astype(jnp.int32)
-            if init_at == "all" or (init_at is not None and j <= init_at):
+            if init_at is not None and j == init_at:
                 cv = c
             else:
                 prev = shift_carry(cv) if lane_shift else cv
                 cv = step_math(prev, c, p1, p2, big)
-            stored = cv.astype(io_dt) if narrow else cv
             if fold:
-                # Same-dtype elementwise add (values bounded by the
-                # caller's 2*(max_cost+p2) contract, no overflow).
-                stored = stored + add_ref[idx(j)]
+                a = add_ref[idx(j)]
+                if narrow:
+                    a = a.astype(jnp.int32)
+                stored = (cv + a).astype(io_dt) if narrow else cv + a
+            else:
+                stored = cv.astype(io_dt) if narrow else cv
             out_ref[idx(j)] = stored
-        carry[...] = cv.astype(io_dt) if narrow else cv
+        carry[...] = cv.astype(st_dt) if narrow else cv
 
     if chunk_lanes is None:  # auto: widest dividing chunk (512 tops)
         chunk_lanes = next(
@@ -203,19 +218,13 @@ def _kernel(
     else:
         run = run_full
 
-    @pl.when(s == init_strip)
+    @pl.when(s == 0)
     def _():
-        run(init_j)
+        run(0)
 
-    @pl.when(s > init_strip)
+    @pl.when(s > 0)
     def _():
         run(None)
-
-    if init_strip > 0:
-
-        @pl.when(s < init_strip)
-        def _():
-            run("all")
 
 
 def sgm_directional_pallas(
@@ -246,6 +255,12 @@ def sgm_directional_pallas(
     traffic; arithmetic still int32 in-VMEM) — exact and bit-identical
     to the int32 path whenever max_cost + p2 < 16384, so the 16384
     padding sentinel never wins a min (caller contract).
+
+    int8 input: quarter the DMA traffic; exact whenever
+    max_cost + p2 < 127 (census-class costs) AND D equals its 32-row
+    sublane round-up (no padded D rows — they would overflow int8
+    through the recurrence).  A folded int8 pass returns int16 (the
+    per-axis sum exceeds int8), which also forfeits donate_volume.
 
     bfloat16 input selects the bf16 LATTICE (_step_math_bf16): the same
     16-bit DMA traffic as int16, but the recurrence runs in bf16
@@ -287,32 +302,52 @@ def sgm_directional_pallas(
             )
         chunk_lanes = 0  # chunks are not independent under a shift
     io16 = vol.dtype == jnp.int16
+    io8 = vol.dtype == jnp.int8
     soft = vol.dtype == jnp.bfloat16
-    io_dt = jnp.bfloat16 if soft else (jnp.int16 if io16 else jnp.int32)
-    big_pad = _SOFT_BIG if soft else (16384 if io16 else _BIG)
-    halfword = io16 or soft
-    dp = max(16 if halfword else 8, 1 << (d - 1).bit_length())  # pow2 min tree
+    st_dt = vol.dtype if (io16 or io8 or soft) else jnp.int32
+    # int8 STORAGE (quarter the DMA traffic): sentinel 127 must exceed
+    # every real L <= max_cost + p2 (caller contract), and D must equal
+    # the 32-row int8 sublane tile's power-of-2 round-up — padded D rows
+    # would overflow int8 through the recurrence (L_pad = 127 + best - m
+    # > 127) and wrap into min-winning garbage.
+    big_pad = _SOFT_BIG if soft else (
+        127 if io8 else (16384 if io16 else _BIG))
+    sub = 32 if io8 else (16 if (io16 or soft) else 8)
+    dp = max(sub, 1 << (d - 1).bit_length())  # pow2 min tree
+    if io8 and dp != d:
+        raise ValueError(
+            f"int8 storage needs D == its sublane round-up ({dp}), got {d}"
+        )
     pp = _round_up(p, 128)
     # Strip size: keep in+out double buffers within ~32 MB of VMEM
     # (vmem_limit_bytes below raises the compiler's 16 MB default;
     # fewer, larger strips amortize per-grid-step overhead in this
     # latency-bound scan).
-    bytes_per_col = dp * pp * (2 if halfword else 4)
+    bytes_per_col = dp * pp * jnp.dtype(st_dt).itemsize
     xc = max(1, min(strip, (32 << 20) // (4 * bytes_per_col)))
-    sp = _round_up(s, xc)
+    # Prefer a strip count that DIVIDES S: otherwise the jnp.pad below
+    # materializes a full copy of the volume just to round S up (seen
+    # as 2x2.5 GB HLO temps at 1 MP x 64 d batch 40 — the OOM straw).
+    # Worst case this walks down to xc=1, which is what the 16/32-bit
+    # paths already pick at production sizes.
+    while s % xc:
+        xc -= 1
     vol_pad = jnp.pad(
-        vol.astype(io_dt),
-        ((0, sp - s), (0, dp - d), (0, pp - p)),
+        vol.astype(st_dt),
+        ((0, 0), (0, dp - d), (0, pp - p)),
         constant_values=big_pad,
     )
-    # Re-pad the (S, P) padding with zeros is unnecessary: padded D rows
-    # hold _BIG (never win), padded P lanes and S columns are sliced off.
-    n_strips = sp // xc
-    init_step = sp - s if reverse else 0
+    # Padded D rows hold the sentinel (never win a min); padded P lanes
+    # are independent scan chains sliced off at the end.
+    n_strips = s // xc
 
     fold = add_to is not None
+    # Folded (per-axis direction-sum) stores need int16 when int8
+    # storage can't hold 2*(max_cost+p2); every other combination
+    # stores in the storage dtype.
+    io_dt = jnp.int16 if (fold and io8) else st_dt
     kernel = functools.partial(
-        _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse, init_step=init_step,
+        _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse,
         fold=fold, chunk_lanes=chunk_lanes,
         lane_shift=lane_shift, lane_period=lane_period,
     )
@@ -323,20 +358,25 @@ def sgm_directional_pallas(
     block = pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
     operands = [vol_pad]
     if fold:
-        if add_to.shape != vol.shape or add_to.dtype != io_dt:
+        if add_to.shape != vol.shape or add_to.dtype != st_dt:
             raise ValueError("add_to must match the volume's shape/dtype")
-        # Pad values don't matter (pad rows/lanes/columns are sliced
-        # off); zeros keep the pad finite.
+        # Pad values don't matter (pad rows/lanes are sliced off);
+        # zeros keep the pad finite.
         operands.append(
-            jnp.pad(add_to, ((0, sp - s), (0, dp - d), (0, pp - p)))
+            jnp.pad(add_to, ((0, 0), (0, dp - d), (0, pp - p)))
         )
+    if donate_volume and io_dt != st_dt:
+        # An int8 fold writes int16 — no byte-compatible buffer to
+        # reuse; the narrower volume already more than pays back the
+        # lost donation at peak HBM.
+        donate_volume = False
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[block] * len(operands),
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((sp, dp, pp), io_dt),
-        scratch_shapes=[pltpu.VMEM((dp, pp), io_dt)],
+        out_shape=jax.ShapeDtypeStruct((s, dp, pp), io_dt),
+        scratch_shapes=[pltpu.VMEM((dp, pp), st_dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
         input_output_aliases={0: 0} if donate_volume else {},
@@ -601,6 +641,7 @@ def sgm_aggregate_pallas(
     interpret: bool | None = None,
     small_values: bool = False,
     soft_values: bool = False,
+    tiny_values: bool = False,
     layout: str = "hwd",
     out_dtype=None,
     tail_padded: bool = False,
@@ -633,11 +674,19 @@ def sgm_aggregate_pallas(
     half the vector footprint per recurrence op and no widen/narrow
     converts — same values as the int32 path (every intermediate
     integer is bf16-exact under the bound).  Overrides small_values.
+    Measured end-to-end SLOWER than int16 on chip (docs/BENCHMARKS.md
+    round 3) — kept as an opt-in probe surface.
+
+    ``tiny_values`` (caller asserts max_cost + p2 < 127 AND
+    num_disparities is a power of two >= 32) selects int8 STORAGE for
+    the volume relayouts and directional passes — QUARTER the HBM/DMA
+    traffic of this bandwidth-heavy stage; the folded per-axis sums
+    still store int16.  Overrides small_values and soft_values.
 
     ``out_dtype`` (default int32) narrows the summed output — exact
-    when the caller's 4-direction sum bound 4*(max_cost + p2) fits the
-    dtype (models/modern._sgm_out_dtype); same VALUES, half the HBM
-    write + downstream tail read at int16."""
+    when the caller's direction-sum bound directions*(max_cost + p2)
+    fits the dtype (models/modern._sgm_out_dtype); same VALUES, half
+    the HBM write + downstream tail read at int16."""
     if p1 < 0 or p2 < p1:
         raise ValueError("need 0 <= p1 <= p2")
     if layout not in ("hwd", "dhw"):
@@ -655,9 +704,12 @@ def sgm_aggregate_pallas(
         b, d, h, w = vol.shape
     else:
         b, h, w, d = vol.shape
+    if tiny_values and (p2 >= 127 or d < 32 or d != 1 << (d - 1).bit_length()):
+        tiny_values = False
     vol = vol.astype(
-        jnp.bfloat16 if soft_values
-        else (jnp.int16 if small_values else jnp.int32)
+        jnp.int8 if tiny_values
+        else (jnp.bfloat16 if soft_values
+              else (jnp.int16 if small_values else jnp.int32))
     )
     # Scan-major layouts with the batch folded into lanes.
     if layout == "dhw":

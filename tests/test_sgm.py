@@ -179,8 +179,9 @@ class TestPallasSGM:
         )
 
     def test_directional_reverse_padding(self):
-        """Reverse scans process the S padding FIRST; the carry re-init
-        at the first real column must keep it out of the result."""
+        """Reverse scan on an S the requested strip does not divide
+        (the strip size walks down to a divisor; no S padding may leak
+        into the result)."""
         from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
 
         rng = np.random.default_rng(5)
@@ -374,6 +375,49 @@ class TestPallasSGM:
         np.testing.assert_allclose(
             np.asarray(got["subpixel"]), np.asarray(want["subpixel"]),
             rtol=0, atol=0)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_directional_int8_storage_bit_identical(self, reverse):
+        """int8 input (census-class bound, D == pow2 >= 32) must match
+        the int32 path after widening."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(37)
+        vol = rng.integers(0, 25, size=(15, 32, 140)).astype(np.int32)
+        want = sgm_directional_pallas(jnp.asarray(vol), 8, 96,
+                                      reverse=reverse, strip=4)
+        got = sgm_directional_pallas(jnp.asarray(vol.astype(np.int8)), 8, 96,
+                                     reverse=reverse, strip=4)
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.int32),
+                                      np.asarray(want))
+        # D != its sublane round-up must be rejected, not corrupted.
+        with pytest.raises(ValueError):
+            sgm_directional_pallas(
+                jnp.asarray(vol[:, :20].astype(np.int8)), 8, 96)
+
+    @pytest.mark.parametrize("directions", [4, 8])
+    def test_aggregate_tiny_values_bit_identical(self, directions):
+        """tiny_values (int8 storage; int16 folded sums) must match the
+        int32 path bit for bit, including the dhw tail-padded merge and
+        the diagonal passes."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(41)
+        vol = rng.integers(0, 25, size=(2, 9, 150, 32)).astype(np.int32)
+        dvol = jnp.asarray(np.transpose(vol, (0, 3, 1, 2)))
+        want = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw",
+                                    tail_padded=True, directions=directions)
+        got = sgm_aggregate_pallas(dvol, 8, 96, layout="dhw",
+                                   tail_padded=True, directions=directions,
+                                   tiny_values=True, out_dtype=jnp.int16)
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int32), np.asarray(want))
+        # Non-pow2 D falls back to int32 silently (values unchanged).
+        small = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw",
+                                     tiny_values=True)
+        ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
+        np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
     def test_modern_sgm_batched_pallas_route(self):
         from stereomatching_tpu.models.modern import modern_forward

@@ -105,6 +105,15 @@ def main() -> int:
             v, 8, 96, reverse=reverse, interpret=False,
             lane_shift=lane_shift, lane_period=v.shape[-1])
 
+    def sgm_int8(reverse, fold=False):
+        # int8 storage: costs <= 24, D = 32 (its own sublane round-up).
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.asarray(
+            rng.integers(0, 25, (16, 32, 640)).astype(np.int8))
+        kw = dict(add_to=v) if fold else {}
+        return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
+                                              interpret=False, **kw)
+
     def sgm_tail():
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
@@ -145,6 +154,8 @@ def main() -> int:
         "sgm-diag-int32": sgm_diag(jnp.int32, 1),
         "sgm-diag-int16-rev": sgm_diag(jnp.int16, -1, reverse=True),
         "sgm-diag-bf16": sgm_diag(jnp.bfloat16, 1),
+        "sgm-int8-fwd": sgm_int8(False),
+        "sgm-int8-fold": sgm_int8(True, fold=True),
         "sgm-tail": sgm_tail(),
         "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),

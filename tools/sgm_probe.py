@@ -29,6 +29,7 @@ def main() -> None:
     p.add_argument("--stage", default="all",
                    choices=["full", "agg", "tail", "all"])
     p.add_argument("--cost", default="census", choices=["census", "sad"])
+    p.add_argument("--directions", type=int, default=4, choices=[4, 8])
     args = p.parse_args()
 
     from stereomatching_tpu.config import ModernParams
@@ -41,7 +42,8 @@ def main() -> None:
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
     params = ModernParams(
-        num_disparities=args.disparities, aggregation="sgm", cost=args.cost
+        num_disparities=args.disparities, aggregation="sgm", cost=args.cost,
+        sgm_directions=args.directions,
     )
     B, H, W, D = args.batch, args.size, args.size, args.disparities
     rng = np.random.default_rng(0)
@@ -76,7 +78,8 @@ def main() -> None:
         return sgm_aggregate_pallas(
             vol, params.sgm_p1, params.sgm_p2,
             small_values=sdt == jnp.int16, soft_values=sdt == jnp.bfloat16,
-            layout="dhw",
+            tiny_values=sdt == jnp.int8,
+            layout="dhw", directions=params.sgm_directions,
         ).astype(jnp.float32).sum()
 
     def full_fn(l, r):
