@@ -48,7 +48,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=None,
                    help="default 256 for classic (the headline sweet "
                         "spot; 384+ exhausts HBM with the bench's 4 "
-                        "resident input sets) and 28 for sgm (its HBM "
+                        "resident input sets) and 32 for sgm (its HBM "
                         "ceiling; 32 OOMs)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
@@ -70,7 +70,7 @@ def main() -> None:
                         "stdout stays the single headline line")
     args = p.parse_args()
     if args.batch is None:
-        args.batch = 28 if args.pipeline == "sgm" else 256
+        args.batch = 32 if args.pipeline == "sgm" else 256
 
     import os
 

@@ -35,6 +35,7 @@ def main() -> None:
     from stereomatching_tpu.config import ModernParams
     from stereomatching_tpu.models.modern import (
         _sgm_forward_batched_pallas,
+        _sgm_out_dtype,
         _sgm_storage_dtype,
         _sgm_tail_fused,
         _sgm_volume,
@@ -80,6 +81,7 @@ def main() -> None:
             small_values=sdt == jnp.int16, soft_values=sdt == jnp.bfloat16,
             tiny_values=sdt == jnp.int8,
             layout="dhw", directions=params.sgm_directions,
+            out_dtype=_sgm_out_dtype(params),
         ).astype(jnp.float32).sum()
 
     def full_fn(l, r):
