@@ -172,10 +172,17 @@ def main() -> None:
         file=sys.stderr,
     )
     if args.roofline:
-        from stereomatching_tpu.bench.roofline import measure
+        if args.pipeline == "sgm":
+            from stereomatching_tpu.bench.roofline import measure_sgm
 
-        for row in measure(h=h, w=w, d=args.disparities, batch=args.batch,
-                           iters=args.iters, tile_rows=args.tile_rows):
+            rows = measure_sgm(h=h, w=w, d=args.disparities,
+                               batch=args.batch, iters=args.iters)
+        else:
+            from stereomatching_tpu.bench.roofline import measure
+
+            rows = measure(h=h, w=w, d=args.disparities, batch=args.batch,
+                           iters=args.iters, tile_rows=args.tile_rows)
+        for row in rows:
             print(json.dumps(row), file=sys.stderr)
 
     print(

@@ -145,6 +145,161 @@ def classic_phase_models(
     }
 
 
+def sgm_phase_models(params, h: int, w: int) -> Dict[str, Dict[str, float]]:
+    """Per-PAIR traffic/compute models for the Pallas SGM route
+    (models/modern._sgm_forward_batched_pallas) — census cost, int8/16
+    volume storage, 4 or 8 directions, fused tail.
+
+    The walk's vpu census uses the chunk-major step's ~14 vector ops
+    per [D, chunk] column (tools/sgm_dir_probe.py); diagonals run the
+    full-plane walk whose per-step staging roughly doubles that.
+    """
+    from stereomatching_tpu.models.modern import (
+        _sgm_out_dtype,
+        _sgm_storage_dtype,
+    )
+
+    hw = float(h * w)
+    d = params.num_disparities
+    vol_e = d * hw  # volume elements
+    sz_v = np.dtype(_sgm_storage_dtype(params)).itemsize
+    sz_s = np.dtype(_sgm_out_dtype(params)).itemsize
+    # Tail-padded lane factor of the merged volume (fused_sgm.tail_lane_pad).
+    wp = (_round_up(w, 128) + _round_up(d, 128)) / w
+
+    # --- volume: census transform x2 (image in, codes out) + the
+    # d-slice stacked build.  XLA's build fusion re-reads the two code
+    # planes once per output tile row per disparity: model 8 B of code
+    # reads per volume element + the narrow volume write.  Census is
+    # ~40 element-ops/px (window compares + shifts + ors); the cost is
+    # xor + SWAR popcount ~16 ops per element.
+    volume = dict(
+        bytes=16.0 * hw + 8.0 * vol_e + sz_v * vol_e,
+        mxu=0.0,
+        vpu=2 * 40.0 * hw + 16.0 * vol_e,
+    )
+
+    # --- aggregation: two scan-major relayouts (read + write each),
+    # per axis a forward pass (read vol, write L) and a folded reverse
+    # pass (read vol + read L, write the int16 axis sum), then the
+    # merge (read both sums, write the tail-padded dhw volume).
+    dirs = params.sgm_directions
+    n_axes = 2 + (2 if dirs == 8 else 0)  # diagonal pairs ride vol_v
+    relayout = 2 * (2.0 * sz_v * vol_e)
+    walk_bytes = n_axes * (sz_v * vol_e + sz_v * vol_e  # fwd r+w
+                           + 2.0 * sz_v * vol_e + sz_s * vol_e)  # rev
+    merge = (dirs // 2) * sz_s * vol_e + sz_s * vol_e * wp
+    walk_vpu = 14.0 * vol_e * (2 + (2 * 2.0 if dirs == 8 else 0))
+    aggregation = dict(
+        bytes=relayout + walk_bytes + merge,
+        mxu=0.0,
+        vpu=walk_vpu + (dirs // 2) * vol_e,
+    )
+
+    # --- tail: one read of the tail-padded int16 volume, four [H, W]
+    # output planes, the LR mask, and fill_iterations Jacobi sweeps on
+    # a VMEM tile (1 read + 1 write of two f32 planes).
+    tail = dict(
+        bytes=sz_s * vol_e * wp + 16.0 * hw + 16.0 * hw,
+        mxu=0.0,
+        vpu=12.0 * vol_e + params.fill_iterations * 14.0 * hw,
+    )
+
+    total = {
+        key: volume[key] + aggregation[key] + tail[key]
+        for key in ("bytes", "mxu", "vpu")
+    }
+    return {
+        "volume": volume,
+        "aggregation": aggregation,
+        "tail": tail,
+        "end_to_end": total,
+    }
+
+
+def measure_sgm(
+    h: int = 1024,
+    w: int = 1024,
+    d: int = 64,
+    batch: int = 32,
+    iters: int = 3,
+    peaks: Peaks = Peaks(),
+    seed: int = 0,
+    directions: int = 4,
+) -> List[Dict[str, float]]:
+    """Honest per-phase SGM roofline on the current backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.models.modern import (
+        _sgm_forward_batched_pallas,
+        _sgm_out_dtype,
+        _sgm_storage_dtype,
+        _sgm_volume,
+    )
+    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+    params = ModernParams(
+        num_disparities=d, aggregation="sgm", cost="census",
+        sgm_directions=directions,
+    )
+    models = sgm_phase_models(params, h, w)
+    sdt = _sgm_storage_dtype(params)
+    rng = np.random.default_rng(seed)
+    n = iters + 1
+    ins = [
+        (
+            jnp.asarray(rng.integers(0, 256, (batch, h, w)).astype(np.int32)),
+            jnp.asarray(rng.integers(0, 256, (batch, h, w)).astype(np.int32)),
+        )
+        for _ in range(n)
+    ]
+    jax.block_until_ready(ins)
+
+    def vol_fn(l, r):
+        return jax.vmap(
+            lambda a, b: _sgm_volume(a, b, params, layout="dhw", dtype=sdt)
+        )(l, r)
+
+    rows: List[Dict[str, float]] = []
+    t = _time_checksum(
+        jax.jit(lambda l, r: vol_fn(l, r).astype(jnp.float32).sum()),
+        ins, iters,
+    )
+    rows.append(verdict("volume", t / batch, models["volume"], peaks))
+
+    agg_kw = dict(
+        small_values=sdt == jnp.int16, tiny_values=sdt == jnp.int8,
+        layout="dhw", out_dtype=_sgm_out_dtype(params), tail_padded=True,
+        directions=directions,
+    )
+    t = _time_checksum(
+        jax.jit(lambda l, r: sgm_aggregate_pallas(
+            vol_fn(l, r), params.sgm_p1, params.sgm_p2, **agg_kw
+        ).astype(jnp.float32).sum()),
+        ins, iters,
+    )
+    agg_t = t / batch - rows[-1]["ms_per_pair"] / 1e3
+    rows.append(verdict("aggregation", agg_t, models["aggregation"], peaks))
+
+    t = _time_checksum(
+        jax.jit(lambda l, r: sum(
+            v.sum().astype(jnp.float32)
+            for v in _sgm_forward_batched_pallas(l, r, params).values()
+        )),
+        ins, iters,
+    )
+    e2e = t / batch
+    rows.append(verdict(
+        "tail",
+        max(e2e - rows[0]["ms_per_pair"] / 1e3 - agg_t, 1e-9),
+        models["tail"], peaks,
+    ))
+    rows.append(verdict("end_to_end", e2e, models["end_to_end"], peaks))
+    return rows
+
+
 def _time_checksum(fn, inputs: List, iters: int) -> float:
     """Seconds per call: jitted ``fn`` mapped over distinct device
     inputs, checksum readback per iteration."""
@@ -349,9 +504,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--disparities", type=int, default=64)
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--tile-rows", type=int, default=None)
+    p.add_argument("--pipeline", choices=["classic", "sgm"], default="classic")
+    p.add_argument("--directions", type=int, default=4, choices=[4, 8])
     p.add_argument("--json", action="store_true", help="one JSON line per phase")
     args = p.parse_args()
 
@@ -360,10 +517,18 @@ def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_stereo")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-    rows = measure(
-        h=args.size, w=args.size, d=args.disparities, batch=args.batch,
-        iters=args.iters, tile_rows=args.tile_rows,
-    )
+    if args.pipeline == "sgm":
+        rows = measure_sgm(
+            h=args.size, w=args.size, d=args.disparities,
+            batch=args.batch or 32, iters=args.iters,
+            directions=args.directions,
+        )
+    else:
+        rows = measure(
+            h=args.size, w=args.size, d=args.disparities,
+            batch=args.batch or 128,
+            iters=args.iters, tile_rows=args.tile_rows,
+        )
     if args.json:
         for r in rows:
             print(json.dumps(r))

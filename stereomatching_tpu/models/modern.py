@@ -209,6 +209,18 @@ def _sgm_volume(
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
 
+def _maybe_median(disp, sub, dr, params: ModernParams, batched: bool):
+    """The SGM routes' median_filter hook, mirroring the box route:
+    3x3 median on the left disparity/sub-pixel planes and the
+    re-projected right view BEFORE LR consistency."""
+    if not params.median_filter:
+        return disp, sub, dr
+    from stereomatching_tpu.ops.costvolume import median3x3
+
+    med = jax.vmap(median3x3) if batched else median3x3
+    return med(disp), med(sub), med(dr)
+
+
 def _sgm_tail_fused(
     agg: jnp.ndarray, params: ModernParams, real_width: int | None = None
 ) -> Dict[str, jnp.ndarray]:
@@ -223,6 +235,7 @@ def _sgm_tail_fused(
 
     disp, sub, cost, dr = sgm_tail_pallas(agg, real_width=real_width)
     batched = agg.ndim == 4
+    disp, sub, dr = _maybe_median(disp, sub, dr, params, batched)
     lr = functools.partial(
         lr_consistency,
         max_diff=params.lr_max_diff,
@@ -261,6 +274,7 @@ def _sgm_tail(
     disp, sub, cost = volume_argmin_subpixel(agg, layout=layout,
                                              unroll=unroll)
     dr = right_disparity_from_left_volume(agg, layout=layout, unroll=unroll)
+    disp, sub, dr = _maybe_median(disp, sub, dr, params, batched=False)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
     filled = fill_invalid(sub, valid, params.fill_iterations, unroll=unroll)
     return {

@@ -412,6 +412,12 @@ def _sgm_shard_forward(
 
     disp, sub, cost = jax.vmap(volume_argmin_subpixel)(agg)
     dr = jax.vmap(right_disparity_from_left_volume)(agg)
+    if params.median_filter:
+        # The single-chip SGM routes' median hook
+        # (models/modern._maybe_median), with the 1-row halo exchange.
+        disp = _median_sharded(disp, n_rows)
+        sub = _median_sharded(sub, n_rows)
+        dr = _median_sharded(dr, n_rows)
     valid = jax.vmap(
         functools.partial(
             lr_consistency,

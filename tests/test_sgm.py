@@ -419,6 +419,29 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    def test_modern_sgm_median_filter_applies(self):
+        """median_filter must act on the SGM route too (it was silently
+        box-only), identically on the XLA and Pallas tiers."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(43)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        base = ModernParams(num_disparities=6, aggregation="sgm",
+                            cost="census")
+        med = ModernParams(num_disparities=6, aggregation="sgm",
+                           cost="census", median_filter=True)
+        plain = modern_forward(l, r, base)
+        want = modern_forward(l, r, med)
+        got = modern_forward(l, r, med, use_pallas=True)
+        assert not np.array_equal(np.asarray(want["disparity"]),
+                                  np.asarray(plain["disparity"]))
+        for key in ("disparity", "disparity_right", "valid", "cost"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key)
+        np.testing.assert_array_equal(np.asarray(got["subpixel"]),
+                                      np.asarray(want["subpixel"]))
+
     def test_modern_sgm_batched_pallas_route(self):
         from stereomatching_tpu.models.modern import modern_forward
 

@@ -110,6 +110,14 @@ def test_sharded_modern_sgm_pallas_matches_single():
     _assert_equal(sharded, want)
 
 
+def test_sharded_modern_sgm_median_matches_single():
+    # median_filter on the SGM route: 1-row halo exchange before LR.
+    params = ModernParams(num_disparities=8, aggregation="sgm",
+                          median_filter=True)
+    sharded, want = _run_both(params, 2, 4, seed=21)
+    _assert_equal(sharded, want)
+
+
 @pytest.mark.parametrize("rows", [4, 8])
 def test_sharded_modern_sgm_eight_directions_matches_single(rows):
     # Diagonal paths: the carry's column shift is intra-shard, so the
