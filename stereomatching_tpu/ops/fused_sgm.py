@@ -113,13 +113,23 @@ def _kernel(
     before each step — predecessor (s-1, x - lane_shift) — and lanes
     whose predecessor crosses an image boundary (x % lane_period wraps)
     take the all-sentinel column, collapsing the step to L = C exactly
-    (m = best = sentinel).  Lane chunks are not independent under a
-    shift, so the caller selects the full-plane walk (chunk_lanes=0)."""
+    (m = best = sentinel).
+
+    Diagonals still run CHUNK-MAJOR: chunks are processed sequentially
+    in shift order (+1: left to right, so the left neighbour chunk is
+    already done; -1: mirrored), each chunk's boundary-lane L
+    trajectory is handed to the next chunk through a [D, xc] scratch
+    column buffer, and a one-register pipeline (read slot j before
+    overwriting it) resolves the read-after-overwrite hazard at column
+    j vs j-1.  At a strip's first column the whole shifted carry is a
+    direct offset slice of the cross-strip carry scratch."""
     if fold:
-        add_ref, out_ref, carry = rest
+        add_ref, out_ref, *scratch = rest
     else:
-        (out_ref, carry) = rest
+        out_ref, *scratch = rest
         add_ref = None
+    carry = scratch[0]
+    btraj = scratch[1] if len(scratch) > 1 else None
     s = pl.program_id(0)
     idx = (lambda j: xc - 1 - j) if reverse else (lambda j: j)
     io_dt = out_ref.dtype  # stored L (or folded-sum) dtype
@@ -133,39 +143,90 @@ def _kernel(
     big = _SOFT_BIG if soft else _BIG
 
     pp = out_ref.shape[-1]
+    dp_dim = out_ref.shape[1]
+    wide_dt = jnp.bfloat16 if soft else jnp.int32
+    bigv = jnp.asarray(big, wide_dt)
 
     if lane_shift:
         assert lane_shift in (-1, 1) and lane_period > 0
-        shape = (out_ref.shape[1], pp)
-        li = jax.lax.broadcasted_iota(jnp.int32, shape, 1) % lane_period
+        li_full = jax.lax.broadcasted_iota(
+            jnp.int32, (dp_dim, pp), 1
+        ) % lane_period
         # Lanes whose predecessor x - lane_shift leaves the image (the
         # lane roll would wrap into the previous/next pair or the lane
         # pad) take the all-sentinel column: m = best = sentinel makes
         # the step degenerate to exactly L = C (path start).
-        boundary = li == (0 if lane_shift == 1 else lane_period - 1)
+        bnd_full = li_full == (0 if lane_shift == 1 else lane_period - 1)
 
         def shift_carry(cv):
             rolled = _roll_lanes(cv, lane_shift % pp)
-            return jnp.where(boundary, jnp.asarray(big, cv.dtype), rolled)
+            return jnp.where(bnd_full, bigv, rolled)
     else:
         shift_carry = None
 
     def run_chunks(init_at, chunk):
         n_chunks = pp // chunk
+        if lane_shift:
+            # Chunk-local shift machinery: `edge` is the local lane
+            # receiving the neighbour chunk's boundary value, `own_bnd`
+            # the lane this chunk hands to the NEXT one.
+            li_loc = jax.lax.broadcasted_iota(jnp.int32, (dp_dim, chunk), 1)
+            edge_mask = li_loc == (0 if lane_shift == 1 else chunk - 1)
+            roll_by = 1 if lane_shift == 1 else chunk - 1
+            own_bnd = (
+                slice(chunk - 1, chunk) if lane_shift == 1 else slice(0, 1)
+            )
+            bnd_at = 0 if lane_shift == 1 else lane_period - 1
 
-        def body(pc, _):
-            sl = pl.ds(pc * chunk, chunk)
+        def body(pc_raw, _):
+            # Diagonal chunks run in shift order (+1: left to right, so
+            # the left neighbour's trajectory is already in btraj; -1:
+            # mirrored).  Plain passes are chunk-order-independent.
+            pc = n_chunks - 1 - pc_raw if lane_shift == -1 else pc_raw
+            base = pc * chunk
+            sl = pl.ds(base, chunk)
             cv = carry[:, sl]
             if narrow:
                 cv = cv.astype(jnp.int32)
+            if lane_shift:
+                bmask = (li_loc + base) % lane_period == bnd_at
+                # The strip's first processed column shifts the
+                # PREVIOUS strip's carry, whose boundary lane belongs
+                # to the neighbour chunk — which has already overwritten
+                # its carry slot this strip.  Each chunk therefore
+                # stashes its OLD boundary into slot xc at body start;
+                # the next chunk reads it before writing its own.
+                # (The first chunk in processing order reads a stale
+                # value, but its edge lane is always sentinel-masked:
+                # lane 0 has x == 0 for +1; for -1 the edge is a pad
+                # lane or x == period-1.)
+                bnd_strip = btraj[:, xc : xc + 1]
+                btraj[:, xc : xc + 1] = cv[:, own_bnd]
+                bnd_cur = bnd_strip
+
+                def shifted(prev, bnd):
+                    rolled = _roll_lanes(prev, roll_by)
+                    rolled = jnp.where(edge_mask, bnd, rolled)
+                    return jnp.where(bmask, bigv, rolled)
+
             for j in range(xc):
                 c = vol_ref[idx(j), :, sl]
                 if narrow:
                     c = c.astype(jnp.int32)
+                if lane_shift:
+                    # One-register pipeline: slot j (the neighbour
+                    # chunk's L[j] boundary) must be read before this
+                    # chunk overwrites it with its own L[j].
+                    bnd_next = btraj[:, j : j + 1]
                 if init_at is not None and j == init_at:
                     cv = c
+                elif lane_shift:
+                    cv = step_math(shifted(cv, bnd_cur), c, p1, p2, big)
                 else:
                     cv = step_math(cv, c, p1, p2, big)
+                if lane_shift:
+                    btraj[:, j : j + 1] = cv[:, own_bnd]
+                    bnd_cur = bnd_next
                 if fold:
                     # Sum in the wide domain, store in the fold dtype
                     # (int16 when int8 storage can't hold the per-axis
@@ -247,9 +308,9 @@ def sgm_directional_pallas(
     lane axis tiles by, P = B * period): a DIAGONAL pass — the carry
     rolls one lane per scan step (predecessor (s-1, x - lane_shift)),
     with image-boundary lanes taking the no-predecessor L = C init.
-    Lane chunks are not independent under a shift, so diagonal passes
-    run the full-plane walk (slower per step than chunk-major, but only
-    the 4 diagonal directions of an 8-direction aggregation pay it).
+    Diagonals run chunk-major too: chunks execute sequentially in
+    shift order and hand their boundary-lane trajectory to the next
+    chunk through a per-column scratch slot (see _kernel).
 
     int16 input selects int16 strip/carry STORAGE (half the DMA
     traffic; arithmetic still int32 in-VMEM) — exact and bit-identical
@@ -300,7 +361,6 @@ def sgm_directional_pallas(
             raise ValueError(
                 f"lane_period {lane_period} must tile the lane axis {p}"
             )
-        chunk_lanes = 0  # chunks are not independent under a shift
     io16 = vol.dtype == jnp.int16
     io8 = vol.dtype == jnp.int8
     soft = vol.dtype == jnp.bfloat16
@@ -370,13 +430,20 @@ def sgm_directional_pallas(
         # reuse; the narrower volume already more than pays back the
         # lost donation at peak HBM.
         donate_volume = False
+    scratch = [pltpu.VMEM((dp, pp), st_dt)]
+    if lane_shift:
+        # Boundary-lane trajectory handoff between neighbour chunks:
+        # one slot per strip column plus the cross-strip stash (slot
+        # xc), in the widened domain.
+        wide = jnp.bfloat16 if soft else jnp.int32
+        scratch.append(pltpu.VMEM((dp, max(xc + 1, 128)), wide))
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[block] * len(operands),
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct((s, dp, pp), io_dt),
-        scratch_shapes=[pltpu.VMEM((dp, pp), st_dt)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
         input_output_aliases={0: 0} if donate_volume else {},

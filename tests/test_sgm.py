@@ -337,6 +337,25 @@ class TestPallasSGM:
         ref_p2 = sgm_aggregate_pallas(dvol, 8, 200, layout="dhw")
         np.testing.assert_array_equal(np.asarray(big_p2), np.asarray(ref_p2))
 
+    @pytest.mark.parametrize("lane_shift", [1, -1])
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_directional_diag_chunked_matches_full_plane(self, lane_shift,
+                                                         reverse):
+        """The chunk-major diagonal walk (boundary-lane handoff between
+        sequential chunks) must be bit-identical to the full-plane form
+        — including mid-chunk image boundaries (period 100 does not
+        align the 128-lane chunks)."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(47)
+        # P = 3 images x 100 lanes = 300 -> pp 384, chunk 128.
+        vol = jnp.asarray(rng.integers(0, 25, (11, 8, 300)).astype(np.int32))
+        kw = dict(lane_shift=lane_shift, lane_period=100, reverse=reverse,
+                  strip=4)
+        full = sgm_directional_pallas(vol, 8, 96, chunk_lanes=0, **kw)
+        chunked = sgm_directional_pallas(vol, 8, 96, chunk_lanes=128, **kw)
+        np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
     @pytest.mark.parametrize("storage", ["int32", "int16", "bf16"])
     def test_aggregate_eight_directions_matches_xla(self, storage):
         """directions=8 (diagonal lane-shift passes) must match the XLA
