@@ -33,7 +33,8 @@ SGM = [
     ("int16 storage\nbatch 8", 20.3),
     ("fused tail\n+ fill", 13.7),
     ("chunk-major\n+ fold (b16)", 9.42),
-    ("batch 28\n(HBM ceiling)", 8.66),
+    ("batch 28\n(round-2 final)", 8.66),
+    ("int8 storage\nbatch 32", 7.41),
 ]
 
 # Size sweep (tools/size_sweep_tpu.py) vs the reference CUDA-ghost
