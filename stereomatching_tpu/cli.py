@@ -72,6 +72,11 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
                         "Semi-Global Matching")
     p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8],
                    help="SGM path count: 4 (axes) or 8 (+diagonals)")
+    p.add_argument("--fill-mode", choices=["diffusion", "background"],
+                   default="diffusion",
+                   help="modern pipeline: hole filling for LR-invalid "
+                        "pixels (valid-aware Jacobi diffusion, or "
+                        "scanline background extension)")
     p.add_argument("--median", action="store_true",
                    help="modern pipeline: 3x3 median speckle filter")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
@@ -213,7 +218,8 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
 
     kw = {"scales": args.scales, "cost": args.cost,
           "aggregation": args.aggregation, "median_filter": args.median,
-          "sgm_directions": args.sgm_directions}
+          "sgm_directions": args.sgm_directions,
+          "fill_mode": args.fill_mode}
     if args.shifts is not None:
         kw["num_disparities"] = args.shifts
     if args.square_width is not None:

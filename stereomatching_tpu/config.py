@@ -126,6 +126,11 @@ class ModernParams:
     window: int = 9
     lr_max_diff: int = 1  # LR consistency tolerance in pixels
     fill_iterations: int = 16  # diffusion sweeps for invalidated pixels
+    # Hole filling for LR-invalidated pixels: "diffusion" (valid-aware
+    # Jacobi averaging, fill_iterations sweeps) or "background"
+    # (scanline background extension — min of the nearest valid left /
+    # right disparity, the standard SGM occlusion interpolation).
+    fill_mode: str = "diffusion"
     scales: int = 1  # 1 = single scale; 2 = fuse a half-res cost pyramid
     coarse_weight: int = 1  # integer weight of the upsampled coarse cost
     cost: str = "sad"  # "sad" | "census" (Hamming on census codes)
@@ -161,6 +166,8 @@ class ModernParams:
             raise ValueError("need 0 <= sgm_p1 <= sgm_p2")
         if self.sgm_directions not in (4, 8):
             raise ValueError("sgm_directions must be 4 or 8")
+        if self.fill_mode not in ("diffusion", "background"):
+            raise ValueError("fill_mode must be 'diffusion' or 'background'")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -209,6 +209,27 @@ def _sgm_volume(
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
 
+def _fill(sub, valid, params: ModernParams, batched: bool,
+          use_pallas: bool = False):
+    """Hole filling for LR-invalidated pixels, per params.fill_mode:
+    diffusion (fill_invalid / its fused kernel) or scanline background
+    extension (ops/costvolume.fill_background — one associative_scan,
+    identical on every tier, so no kernel variant is needed)."""
+    if params.fill_mode == "background":
+        from stereomatching_tpu.ops.costvolume import fill_background
+
+        fn = jax.vmap(fill_background) if batched else fill_background
+        return fn(sub, valid)
+    if use_pallas:
+        from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
+
+        return fill_invalid_pallas(sub, valid, params.fill_iterations)
+    fn = functools.partial(fill_invalid, iterations=params.fill_iterations)
+    if batched:
+        fn = jax.vmap(fn)
+    return fn(sub, valid)
+
+
 def _maybe_median(disp, sub, dr, params: ModernParams, batched: bool):
     """The SGM routes' median_filter hook, mirroring the box route:
     3x3 median on the left disparity/sub-pixel planes and the
@@ -231,8 +252,6 @@ def _sgm_tail_fused(
     a batch [B, D, H, W]; bit-identical to _sgm_tail(layout="dhw")."""
     from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
 
-    from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
-
     disp, sub, cost, dr = sgm_tail_pallas(agg, real_width=real_width)
     batched = agg.ndim == 4
     disp, sub, dr = _maybe_median(disp, sub, dr, params, batched)
@@ -245,7 +264,7 @@ def _sgm_tail_fused(
     if batched:
         lr = jax.vmap(lr)
     valid = lr(disp, dr)
-    filled = fill_invalid_pallas(sub, valid, params.fill_iterations)
+    filled = _fill(sub, valid, params, batched, use_pallas=True)
     return {
         "disparity": disp,
         "subpixel": sub,
@@ -276,7 +295,11 @@ def _sgm_tail(
     dr = right_disparity_from_left_volume(agg, layout=layout, unroll=unroll)
     disp, sub, dr = _maybe_median(disp, sub, dr, params, batched=False)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
-    filled = fill_invalid(sub, valid, params.fill_iterations, unroll=unroll)
+    if params.fill_mode == "background":
+        filled = _fill(sub, valid, params, batched=False)
+    else:
+        filled = fill_invalid(sub, valid, params.fill_iterations,
+                              unroll=unroll)
     return {
         "disparity": disp,
         "subpixel": sub,
@@ -465,18 +488,11 @@ def modern_forward(
         num_disparities=params.num_disparities,
         unroll=use_pallas,
     )
-    fill = functools.partial(fill_invalid, iterations=params.fill_iterations)
     if batched:
-        lr, fill = jax.vmap(lr), jax.vmap(fill)
+        lr = jax.vmap(lr)
     valid = lr(dl.disparity, dr.disparity)
-    if use_pallas:
-        from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
-
-        filled = fill_invalid_pallas(
-            dl.subpixel, valid, params.fill_iterations
-        )
-    else:
-        filled = fill(dl.subpixel, valid)
+    filled = _fill(dl.subpixel, valid, params, batched,
+                   use_pallas=use_pallas)
     return {
         "disparity": dl.disparity,
         "subpixel": dl.subpixel,

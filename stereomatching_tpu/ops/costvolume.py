@@ -293,6 +293,43 @@ def median3x3(x: jnp.ndarray) -> jnp.ndarray:
     return taps[4]
 
 
+def fill_background(
+    disparity: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Background-extension hole filling (the standard SGM occlusion
+    interpolation, Hirschmüller 2008 §V / the KITTI convention):
+    every invalid pixel takes min(nearest valid disparity to its LEFT,
+    nearest valid to its RIGHT) along the scanline — occluded regions
+    belong to the BACKGROUND (the smaller disparity), which diffusion
+    averaging blurs across the occlusion edge instead.
+
+    TPU-first realization: "nearest valid to the left" is a prefix
+    "last-set value" combine — associative, so it runs as ONE
+    ``jax.lax.associative_scan`` over the row axis (O(log W) parallel
+    steps, static shapes); the right side is the same scan reversed.
+    x-only dependence means the op is trivially row-shardable and
+    batchable (vmap).  float32 in, float32 out; pixels on rows with no
+    valid disparity at all are left at 0."""
+    d = disparity.astype(jnp.float32)
+    has = valid.astype(jnp.float32)
+    dv = d * has  # zero out invalid so the combine only carries valid
+
+    def last_set(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh > 0, bv, av), jnp.maximum(ah, bh)
+
+    ax = d.ndim - 1  # reverse=True requires a nonnegative axis
+    lv, lh = jax.lax.associative_scan(last_set, (dv, has), axis=ax)
+    rv, rh = jax.lax.associative_scan(last_set, (dv, has), axis=ax,
+                                      reverse=True)
+    both = (lh > 0) & (rh > 0)
+    fill = jnp.where(
+        both, jnp.minimum(lv, rv), jnp.where(lh > 0, lv, rv)
+    )
+    return jnp.where(valid, d, fill)
+
+
 def fill_invalid(
     disparity: jnp.ndarray,
     valid: jnp.ndarray,

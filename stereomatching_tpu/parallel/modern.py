@@ -160,6 +160,17 @@ def _median_sharded(plane: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     return out[:, 1 : 1 + hs, :]
 
 
+def _fill_sharded(sub, valid, params, n_rows):
+    """fill_mode dispatch for the sharded routes: background extension
+    is x-only (intra-shard — one vmapped associative_scan, no
+    exchange); diffusion runs the per-step 1-row halo exchange."""
+    if params.fill_mode == "background":
+        from stereomatching_tpu.ops.costvolume import fill_background
+
+        return jax.vmap(fill_background)(sub, valid)
+    return _fill_invalid_sharded(sub, valid, params.fill_iterations, n_rows)
+
+
 def _fill_invalid_sharded(
     disparity: jnp.ndarray,
     valid: jnp.ndarray,
@@ -425,7 +436,7 @@ def _sgm_shard_forward(
             num_disparities=d_count,
         )
     )(disp, dr)
-    filled = _fill_invalid_sharded(sub, valid, params.fill_iterations, n_rows)
+    filled = _fill_sharded(sub, valid, params, n_rows)
     return {
         "disparity": disp,
         "subpixel": sub,
@@ -491,9 +502,7 @@ def _modern_shard_forward(
             num_disparities=params.num_disparities,
         )
     )(dl.disparity, dr.disparity)
-    filled = _fill_invalid_sharded(
-        dl.subpixel, valid, params.fill_iterations, n_rows
-    )
+    filled = _fill_sharded(dl.subpixel, valid, params, n_rows)
     return {
         "disparity": dl.disparity,
         "subpixel": dl.subpixel,

@@ -438,6 +438,48 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    def test_fill_background_semantics(self):
+        """Background extension: holes take min(nearest valid left,
+        nearest valid right); one-sided rows extend; empty rows -> 0."""
+        from stereomatching_tpu.ops.costvolume import fill_background
+
+        d = jnp.asarray(np.array(
+            [[5.0, 0, 0, 2, 0, 9],
+             [0.0, 0, 3, 0, 0, 0],
+             [0.0, 0, 0, 0, 0, 0]], np.float32))
+        v = jnp.asarray(np.array(
+            [[1, 0, 0, 1, 0, 1],
+             [0, 0, 1, 0, 0, 0],
+             [0, 0, 0, 0, 0, 0]], bool))
+        got = np.asarray(fill_background(d, v))
+        want = np.array(
+            [[5, 2, 2, 2, 2, 9],
+             [3, 3, 3, 3, 3, 3],
+             [0, 0, 0, 0, 0, 0]], np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("aggregation", ["box", "sgm"])
+    def test_modern_fill_background_across_tiers(self, aggregation):
+        """fill_mode='background': XLA and Pallas tiers must agree (the
+        fill itself is a single shared associative_scan)."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(51)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        params = ModernParams(num_disparities=6, aggregation=aggregation,
+                              cost="census", fill_mode="background")
+        want = modern_forward(l, r, params)
+        got = modern_forward(l, r, params, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(got["filled"]),
+                                      np.asarray(want["filled"]))
+        # Valid pixels keep their sub-pixel value; holes are filled
+        # with values present in the valid set of the same row.
+        valid = np.asarray(want["valid"])
+        np.testing.assert_array_equal(
+            np.asarray(want["filled"])[valid],
+            np.asarray(want["subpixel"])[valid])
+
     def test_modern_sgm_median_filter_applies(self):
         """median_filter must act on the SGM route too (it was silently
         box-only), identically on the XLA and Pallas tiers."""

@@ -110,6 +110,14 @@ def test_sharded_modern_sgm_pallas_matches_single():
     _assert_equal(sharded, want)
 
 
+def test_sharded_modern_fill_background_matches_single():
+    # Background extension is x-only -> intra-shard, no exchange.
+    params = ModernParams(num_disparities=8, aggregation="sgm",
+                          fill_mode="background")
+    sharded, want = _run_both(params, 1, 4, seed=23)
+    _assert_equal(sharded, want)
+
+
 def test_sharded_modern_sgm_median_matches_single():
     # median_filter on the SGM route: 1-row halo exchange before LR.
     params = ModernParams(num_disparities=8, aggregation="sgm",

@@ -39,6 +39,8 @@ def main() -> int:
     p.add_argument("--cost", default="sad", choices=["sad", "census"])
     p.add_argument("--aggregation", default="box", choices=["box", "sgm"])
     p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8])
+    p.add_argument("--fill-mode", default="diffusion",
+                   choices=["diffusion", "background"])
     p.add_argument("--gt-scale", type=float, default=None,
                    help="disparity = PNG value * scale (default: 1/256 "
                         "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
@@ -74,7 +76,7 @@ def main() -> int:
     params = ModernParams(
         num_disparities=args.disparities, window=args.window,
         scales=args.scales, cost=args.cost, aggregation=args.aggregation,
-        sgm_directions=args.sgm_directions,
+        sgm_directions=args.sgm_directions, fill_mode=args.fill_mode,
     )
     fn = build_modern_pipeline(params)
     out = fn(left.astype(np.int32), right.astype(np.int32))
@@ -88,7 +90,8 @@ def main() -> int:
         "params": {"disparities": args.disparities, "window": args.window,
                    "scales": args.scales, "cost": args.cost,
                    "aggregation": args.aggregation,
-                   "sgm_directions": args.sgm_directions},
+                   "sgm_directions": args.sgm_directions,
+                   "fill_mode": args.fill_mode},
     }, indent=2))
     return 0
 
