@@ -77,6 +77,9 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
                    help="modern pipeline: hole filling for LR-invalid "
                         "pixels (valid-aware Jacobi diffusion, or "
                         "scanline background extension)")
+    p.add_argument("--uniqueness", action="store_true",
+                   help="modern SGM: also emit the c2/c1 uniqueness "
+                        "confidence plane")
     p.add_argument("--median", action="store_true",
                    help="modern pipeline: 3x3 median speckle filter")
     p.add_argument("--edge-rule", choices=["reference", "exact"], default="reference")
@@ -219,7 +222,7 @@ def _run_modern(args, img1, img2) -> Dict[str, np.ndarray]:
     kw = {"scales": args.scales, "cost": args.cost,
           "aggregation": args.aggregation, "median_filter": args.median,
           "sgm_directions": args.sgm_directions,
-          "fill_mode": args.fill_mode}
+          "fill_mode": args.fill_mode, "uniqueness": args.uniqueness}
     if args.shifts is not None:
         kw["num_disparities"] = args.shifts
     if args.square_width is not None:

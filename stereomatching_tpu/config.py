@@ -146,6 +146,12 @@ class ModernParams:
     # (higher quality, ~2x the aggregation cost).
     sgm_directions: int = 4
     median_filter: bool = False  # 3x3 median speckle removal before LR
+    # Emit a per-pixel "uniqueness" confidence plane: the ratio
+    # c2 / max(c1, 1) of the second-best aggregated cost OUTSIDE the
+    # winner's +-1 disparity neighborhood to the best (the OpenCV SGBM
+    # uniquenessRatio signal; higher = more confident).  SGM only —
+    # the box route's costs are never materialized for a second pass.
+    uniqueness: bool = False
 
     def __post_init__(self) -> None:
         if self.num_disparities < 2:
@@ -168,6 +174,11 @@ class ModernParams:
             raise ValueError("sgm_directions must be 4 or 8")
         if self.fill_mode not in ("diffusion", "background"):
             raise ValueError("fill_mode must be 'diffusion' or 'background'")
+        if self.uniqueness and self.aggregation != "sgm":
+            raise ValueError(
+                "uniqueness needs the materialized cost volume "
+                "(aggregation='sgm')"
+            )
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -209,6 +209,13 @@ def _sgm_volume(
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
 
 
+def _uniqueness_ratio(c2, c1):
+    """Uniqueness confidence c2 / max(c1, 1) — the margin by which the
+    winner beats its best out-of-neighborhood competitor (>= 1; higher
+    is more confident; OpenCV SGBM thresholds this at ~1.1-1.15)."""
+    return c2.astype(jnp.float32) / jnp.maximum(c1.astype(jnp.float32), 1.0)
+
+
 def _fill(sub, valid, params: ModernParams, batched: bool,
           use_pallas: bool = False):
     """Hole filling for LR-invalidated pixels, per params.fill_mode:
@@ -252,8 +259,13 @@ def _sgm_tail_fused(
     a batch [B, D, H, W]; bit-identical to _sgm_tail(layout="dhw")."""
     from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
 
-    disp, sub, cost, dr = sgm_tail_pallas(agg, real_width=real_width)
+    outs = sgm_tail_pallas(agg, real_width=real_width,
+                           with_uniqueness=params.uniqueness)
+    disp, sub, cost, dr = outs[:4]
     batched = agg.ndim == 4
+    uniq = (
+        _uniqueness_ratio(outs[4], cost) if params.uniqueness else None
+    )
     disp, sub, dr = _maybe_median(disp, sub, dr, params, batched)
     lr = functools.partial(
         lr_consistency,
@@ -265,7 +277,7 @@ def _sgm_tail_fused(
         lr = jax.vmap(lr)
     valid = lr(disp, dr)
     filled = _fill(sub, valid, params, batched, use_pallas=True)
-    return {
+    out = {
         "disparity": disp,
         "subpixel": sub,
         "disparity_right": dr,
@@ -273,6 +285,9 @@ def _sgm_tail_fused(
         "filled": filled,
         "cost": cost,
     }
+    if uniq is not None:
+        out["uniqueness"] = uniq
+    return out
 
 
 def _sgm_tail(
@@ -293,6 +308,15 @@ def _sgm_tail(
     disp, sub, cost = volume_argmin_subpixel(agg, layout=layout,
                                              unroll=unroll)
     dr = right_disparity_from_left_volume(agg, layout=layout, unroll=unroll)
+    uniq = None
+    if params.uniqueness:
+        from stereomatching_tpu.ops.sgm import (
+            second_best_outside_neighborhood,
+        )
+
+        uniq = _uniqueness_ratio(
+            second_best_outside_neighborhood(agg, disp, layout=layout), cost
+        )
     disp, sub, dr = _maybe_median(disp, sub, dr, params, batched=False)
     valid = lr_consistency(disp, dr, params.lr_max_diff, params.num_disparities)
     if params.fill_mode == "background":
@@ -300,7 +324,7 @@ def _sgm_tail(
     else:
         filled = fill_invalid(sub, valid, params.fill_iterations,
                               unroll=unroll)
-    return {
+    out = {
         "disparity": disp,
         "subpixel": sub,
         "disparity_right": dr,
@@ -308,6 +332,9 @@ def _sgm_tail(
         "filled": filled,
         "cost": cost,
     }
+    if uniq is not None:
+        out["uniqueness"] = uniq
+    return out
 
 
 def _sgm_forward(

@@ -551,6 +551,7 @@ def _tail_kernel(
     sub_ref,
     cost_ref,
     dr_ref,
+    c2_ref=None,  # with_uniqueness: [1, hc, Wo] second-best cost
     *,
     d_count: int,
     wo: int,
@@ -615,6 +616,18 @@ def _tail_kernel(
         sub_ref[0, :, sl] = best_d.astype(jnp.float32) + offset
         cost_ref[0, :, sl] = best
         dr_ref[0, :, sl] = dr
+        if c2_ref is not None:
+            # Second pass over the SAME VMEM-resident strip: min cost
+            # outside the winner's +-1 neighborhood (the uniqueness
+            # numerator) — no extra HBM traffic, just D more loads of
+            # resident data.
+            c2 = big
+            for d in range(d_count):
+                c = vol_ref[0, d, :, pl.ds(c0, chunk)].astype(jnp.int32)
+                c2 = jnp.minimum(
+                    c2, jnp.where(jnp.abs(best_d - d) <= 1, _ARGBIG, c)
+                )
+            c2_ref[0, :, sl] = c2
         return 0
 
     jax.lax.fori_loop(0, wo // chunk, chunk_body, 0)
@@ -631,10 +644,15 @@ def sgm_tail_pallas(
     interpret: bool | None = None,
     row_strip: int = 64,
     real_width: int | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_uniqueness: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused SGM tail over a disparity-major aggregated volume
     [(B,) D, H, W] (int16 or int32) -> (disparity int32, subpixel f32,
     cost int32, disparity_right int32), each [(B,) H, W].
+    ``with_uniqueness`` appends a fifth plane: the minimum cost outside
+    the winner's +-1 neighborhood (int32; the c2 of the uniqueness
+    confidence), from a second pass over the VMEM-resident strip —
+    bit-identical to ops/sgm.second_best_outside_neighborhood.
 
     Bit-identical to ops/sgm.volume_argmin_subpixel(layout="dhw") +
     right_disparity_from_left_volume(layout="dhw") but in ONE pass over
@@ -678,6 +696,9 @@ def sgm_tail_pallas(
     out_spec = pl.BlockSpec(
         (1, hc, wo), lambda bi, si: (bi, si, 0), memory_space=pltpu.VMEM
     )
+    out_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
+    if with_uniqueness:
+        out_dts.append(jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_strips),
@@ -687,10 +708,9 @@ def sgm_tail_pallas(
                 memory_space=pltpu.VMEM,
             )
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * len(out_dts),
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, wo), dt)
-            for dt in (jnp.int32, jnp.float32, jnp.int32, jnp.int32)
+            jax.ShapeDtypeStruct((b, hp, wo), dt) for dt in out_dts
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,

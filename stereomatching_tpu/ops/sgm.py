@@ -161,6 +161,29 @@ def volume_argmin_subpixel(
     return res.disparity, res.subpixel, res.cost
 
 
+def second_best_outside_neighborhood(
+    vol: jnp.ndarray, disp: jnp.ndarray, layout: str = "hwd"
+) -> jnp.ndarray:
+    """min over d with |d - disp| > 1 of the aggregated cost — the
+    numerator of the uniqueness confidence c2 / c1 (OpenCV SGBM's
+    uniquenessRatio test, neighborhood-excluded so the sub-pixel lobe
+    around the winner does not count as a competitor).  A D-step
+    unrolled pass of static slices (the volume-tail pattern of
+    volume_argmin_subpixel); pixels where every disparity is excluded
+    (D <= 3) keep the _BIG sentinel.  -> int32 [H, W]."""
+    if layout == "dhw":
+        d_count = vol.shape[0]
+        slice_at = lambda d: vol[d]  # noqa: E731
+    else:
+        d_count = vol.shape[-1]
+        slice_at = lambda d: vol[..., d]  # noqa: E731
+    c2 = jnp.full(disp.shape, _BIG, jnp.int32)
+    for d in range(d_count):
+        c = slice_at(d).astype(jnp.int32)
+        c2 = jnp.minimum(c2, jnp.where(jnp.abs(disp - d) <= 1, _BIG, c))
+    return c2
+
+
 def right_disparity_from_left_volume(
     vol: jnp.ndarray, layout: str = "hwd", unroll: bool = False
 ) -> jnp.ndarray:

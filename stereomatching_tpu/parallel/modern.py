@@ -423,6 +423,17 @@ def _sgm_shard_forward(
 
     disp, sub, cost = jax.vmap(volume_argmin_subpixel)(agg)
     dr = jax.vmap(right_disparity_from_left_volume)(agg)
+    uniq = None
+    if params.uniqueness:
+        # x/D-only like the argmin: intra-shard, no exchange.
+        from stereomatching_tpu.models.modern import _uniqueness_ratio
+        from stereomatching_tpu.ops.sgm import (
+            second_best_outside_neighborhood,
+        )
+
+        uniq = _uniqueness_ratio(
+            jax.vmap(second_best_outside_neighborhood)(agg, disp), cost
+        )
     if params.median_filter:
         # The single-chip SGM routes' median hook
         # (models/modern._maybe_median), with the 1-row halo exchange.
@@ -437,7 +448,7 @@ def _sgm_shard_forward(
         )
     )(disp, dr)
     filled = _fill_sharded(sub, valid, params, n_rows)
-    return {
+    out = {
         "disparity": disp,
         "subpixel": sub,
         "disparity_right": dr,
@@ -445,6 +456,9 @@ def _sgm_shard_forward(
         "filled": filled,
         "cost": cost,
     }
+    if uniq is not None:
+        out["uniqueness"] = uniq
+    return out
 
 
 def _modern_shard_forward(
@@ -554,6 +568,8 @@ def sharded_modern_forward(
         "filled": plane,
         "cost": plane,
     }
+    if params.uniqueness and params.aggregation == "sgm":
+        out_specs["uniqueness"] = plane
     body = (
         _sgm_shard_forward
         if params.aggregation == "sgm"

@@ -438,6 +438,51 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    def test_uniqueness_second_best_brute(self):
+        """c2 = min cost outside the winner's +-1 neighborhood, checked
+        against literal loops."""
+        from stereomatching_tpu.ops.sgm import (
+            second_best_outside_neighborhood,
+        )
+
+        rng = np.random.default_rng(53)
+        vol = rng.integers(0, 100, size=(5, 7, 9)).astype(np.int32)
+        disp = np.argmin(vol, axis=-1).astype(np.int32)
+        got = np.asarray(
+            second_best_outside_neighborhood(jnp.asarray(vol),
+                                             jnp.asarray(disp)))
+        want = np.empty_like(disp)
+        for y in range(5):
+            for x in range(7):
+                cands = [vol[y, x, d] for d in range(9)
+                         if abs(d - disp[y, x]) > 1]
+                want[y, x] = min(cands)
+        np.testing.assert_array_equal(got, want)
+
+    def test_modern_sgm_uniqueness_across_tiers(self):
+        """The fused tail's second in-VMEM pass must equal the XLA
+        twin bit for bit; valid the ratio's basic properties."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(57)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 150)).astype(np.int32))
+        params = ModernParams(num_disparities=8, aggregation="sgm",
+                              cost="census", uniqueness=True)
+        want = modern_forward(l, r, params)
+        got = modern_forward(l, r, params, use_pallas=True)
+        assert "uniqueness" in want and "uniqueness" in got
+        np.testing.assert_array_equal(np.asarray(got["uniqueness"]),
+                                      np.asarray(want["uniqueness"]))
+        u = np.asarray(want["uniqueness"])
+        c1 = np.asarray(want["cost"])
+        # c2 >= c1 by construction, so the ratio is >= 1 wherever the
+        # best cost is >= 1 (c1 == 0 divides by the clamp instead).
+        assert (u[c1 >= 1] >= 1.0).all() and (u >= 0).all()
+        # box route must reject the flag at config time
+        with pytest.raises(ValueError):
+            ModernParams(num_disparities=8, uniqueness=True)
+
     def test_fill_background_semantics(self):
         """Background extension: holes take min(nearest valid left,
         nearest valid right); one-sided rows extend; empty rows -> 0."""

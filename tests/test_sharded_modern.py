@@ -110,6 +110,15 @@ def test_sharded_modern_sgm_pallas_matches_single():
     _assert_equal(sharded, want)
 
 
+def test_sharded_modern_sgm_uniqueness_matches_single():
+    params = ModernParams(num_disparities=8, aggregation="sgm",
+                          uniqueness=True)
+    sharded, want = _run_both(params, 1, 4, seed=27)
+    _assert_equal(sharded, want)
+    np.testing.assert_array_equal(sharded["uniqueness"],
+                                  want["uniqueness"])
+
+
 def test_sharded_modern_fill_background_matches_single():
     # Background extension is x-only -> intra-shard, no exchange.
     params = ModernParams(num_disparities=8, aggregation="sgm",

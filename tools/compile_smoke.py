@@ -114,10 +114,11 @@ def main() -> int:
         return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
                                               interpret=False, **kw)
 
-    def sgm_tail():
+    def sgm_tail(uniq=False):
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
-        return lambda: sgm_tail_pallas(v, interpret=False)
+        return lambda: sgm_tail_pallas(v, interpret=False,
+                                       with_uniqueness=uniq)
 
     def fill_invalid():
         from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
@@ -157,6 +158,7 @@ def main() -> int:
         "sgm-int8-fwd": sgm_int8(False),
         "sgm-int8-fold": sgm_int8(True, fold=True),
         "sgm-tail": sgm_tail(),
+        "sgm-tail-uniq": sgm_tail(uniq=True),
         "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),
         "modern-census": modern("census"),
