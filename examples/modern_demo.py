@@ -39,6 +39,14 @@ def main() -> int:
         "sgm-census": ModernParams(
             num_disparities=args.disparities, cost="census", aggregation="sgm"
         ),
+        # The full quality stack: 8 aggregation paths, median speckle
+        # smoothing, uniqueness confidence, background-extension
+        # occlusion filling.
+        "sgm-8dir-full": ModernParams(
+            num_disparities=args.disparities, cost="census",
+            aggregation="sgm", sgm_directions=8, median_filter=True,
+            uniqueness=True, fill_mode="background",
+        ),
     }.items():
         out = ModernMatcher(params)(left, right)
         rep = disparity_report(

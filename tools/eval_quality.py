@@ -41,6 +41,11 @@ def main() -> int:
     p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8])
     p.add_argument("--fill-mode", default="diffusion",
                    choices=["diffusion", "background"])
+    p.add_argument("--uniqueness-min", type=float, default=None,
+                   metavar="RATIO",
+                   help="SGM only: also require the c2/c1 uniqueness "
+                        "confidence >= RATIO for a pixel to count as "
+                        "valid (OpenCV SGBM uses ~1.1)")
     p.add_argument("--gt-scale", type=float, default=None,
                    help="disparity = PNG value * scale (default: 1/256 "
                         "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
@@ -77,11 +82,14 @@ def main() -> int:
         num_disparities=args.disparities, window=args.window,
         scales=args.scales, cost=args.cost, aggregation=args.aggregation,
         sgm_directions=args.sgm_directions, fill_mode=args.fill_mode,
+        uniqueness=args.uniqueness_min is not None,
     )
     fn = build_modern_pipeline(params)
     out = fn(left.astype(np.int32), right.astype(np.int32))
 
     valid = np.array(out["valid"])
+    if args.uniqueness_min is not None:
+        valid &= np.asarray(out["uniqueness"]) >= args.uniqueness_min
     report = disparity_report(np.asarray(out["subpixel"]), gt, valid)
     report_filled = disparity_report(np.asarray(out["filled"]), gt)
     print(json.dumps({
@@ -91,7 +99,8 @@ def main() -> int:
                    "scales": args.scales, "cost": args.cost,
                    "aggregation": args.aggregation,
                    "sgm_directions": args.sgm_directions,
-                   "fill_mode": args.fill_mode},
+                   "fill_mode": args.fill_mode,
+                   "uniqueness_min": args.uniqueness_min},
     }, indent=2))
     return 0
 
