@@ -149,20 +149,19 @@ def _kernel(
 
     if lane_shift:
         assert lane_shift in (-1, 1) and lane_period > 0
-        li_full = jax.lax.broadcasted_iota(
+
+    def shift_carry(cv):
+        # Full-plane form of the diagonal carry shift.  Lanes whose
+        # predecessor x - lane_shift leaves the image (the lane roll
+        # would wrap into the previous/next pair or the lane pad) take
+        # the all-sentinel column: m = best = sentinel makes the step
+        # degenerate to exactly L = C (path start).
+        li = jax.lax.broadcasted_iota(
             jnp.int32, (dp_dim, pp), 1
         ) % lane_period
-        # Lanes whose predecessor x - lane_shift leaves the image (the
-        # lane roll would wrap into the previous/next pair or the lane
-        # pad) take the all-sentinel column: m = best = sentinel makes
-        # the step degenerate to exactly L = C (path start).
-        bnd_full = li_full == (0 if lane_shift == 1 else lane_period - 1)
-
-        def shift_carry(cv):
-            rolled = _roll_lanes(cv, lane_shift % pp)
-            return jnp.where(bnd_full, bigv, rolled)
-    else:
-        shift_carry = None
+        bnd = li == (0 if lane_shift == 1 else lane_period - 1)
+        rolled = _roll_lanes(cv, lane_shift % pp)
+        return jnp.where(bnd, bigv, rolled)
 
     def run_chunks(init_at, chunk):
         n_chunks = pp // chunk
