@@ -198,3 +198,21 @@ def test_modern_cli_sgm_census(pair_paths, tmp_path):
     )
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "disparity.npz"))
+
+
+def test_modern_cli_sgm_quality_stack(pair_paths, tmp_path):
+    """The round-3 SGM options end-to-end through the CLI: 8 paths,
+    median, uniqueness plane, background fill."""
+    import numpy as np
+
+    a, b, _, _ = pair_paths
+    outdir = str(tmp_path / "sgm8")
+    rc = cli.main(
+        [a, b, "--pipeline", "modern", "--shifts", "8", "--cost", "census",
+         "--aggregation", "sgm", "--sgm-directions", "8", "--median",
+         "--uniqueness", "--fill-mode", "background", "--outdir", outdir]
+    )
+    assert rc == 0
+    z = np.load(os.path.join(outdir, "disparity.npz"))
+    assert "uniqueness" in z.files
+    assert np.isfinite(z["uniqueness"]).all()

@@ -110,6 +110,21 @@ def test_sharded_modern_sgm_pallas_matches_single():
     _assert_equal(sharded, want)
 
 
+def test_sharded_modern_sgm_int8_storage_matches_single():
+    # num_disparities=32 + census selects the int8 storage ladder rung
+    # (models/modern._sgm_storage_dtype) inside the sharded horizontal
+    # kernel route as well.
+    from stereomatching_tpu.models.modern import _sgm_storage_dtype
+    import jax.numpy as jnp
+
+    params = ModernParams(num_disparities=32, aggregation="sgm",
+                          cost="census")
+    assert _sgm_storage_dtype(params) == jnp.int8
+    sharded, want = _run_both(params, 1, 4, use_pallas=True, seed=29,
+                              h=32, w=48)
+    _assert_equal(sharded, want)
+
+
 def test_sharded_modern_sgm_uniqueness_matches_single():
     params = ModernParams(num_disparities=8, aggregation="sgm",
                           uniqueness=True)
