@@ -21,10 +21,9 @@ n-1-s and walks the strip backwards.
 The vertical directions are the same kernel on the [H, D, W] layout;
 the horizontal ones on [W, D, H] (one XLA transpose of the volume).
 Padding: D pads to the sublane tile with _BIG (never wins a min),
-P to the lane tile (independent scan lanes, sliced away), S to the
-strip size (the kernel re-initializes the carry at the first REAL
-column in processing order, so leading pad columns in a reverse pass
-cannot leak into the result).
+P to the lane tile (independent scan lanes, sliced away); S is never
+padded — the strip size always divides S (a non-divisor strip made the
+host-side pad materialize full volume copies, the round-3 OOM find).
 
 Late-round-2 structure (measured on chip, see docs/DESIGN.md "The VMEM
 staging floor"): the strip walk runs CHUNK-MAJOR by default — lane
@@ -539,6 +538,105 @@ def _step_math(prev, c, p1, p2, big):
     dn = jnp.where(di == 0, big, pltpu.roll(prev, 1, 0))
     best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
     return c + best - m
+
+
+def _volume_kernel(
+    l_ref,  # [1, hc, Wo] left cost-input plane (census codes / pixels)
+    r_ref,  # [1, hc, Wr] right plane, LEFT-extended by D (edge) + pad
+    out_ref,  # [1, D, hc, Wo]
+    *,
+    d_count: int,
+    cost: str,
+):
+    """Per-pixel cost volume build with the cost inputs VMEM-resident:
+    the XLA stacked build re-reads the two code planes from HBM once
+    per disparity (~64x the input bytes at D=64); here each strip is
+    DMA'd once and the D windows are one circular lane roll apart.
+
+    Window arithmetic: the right tile t = [D copies of column 0 |
+    row | pad] (host-built), so window_d(x) = t[x + D - d].  Starting
+    from the tile rolled left by D (window_0), each next disparity is
+    ONE roll right — and because 0 <= x + D - d < Wr for every needed
+    (x, d), the circular wrap always lands on the correct index."""
+    l = l_ref[0]
+    wr = r_ref.shape[-1]
+    win = pltpu.roll(r_ref[0], (wr - d_count) % wr, 1)  # left by D
+    wo = out_ref.shape[-1]
+    for d in range(d_count):
+        if d:
+            win = pltpu.roll(win, 1, 1)
+        w_now = win[:, :wo]
+        if cost == "census":
+            from stereomatching_tpu.ops.costvolume import popcount32
+
+            c = popcount32(l ^ w_now)
+        else:
+            c = jnp.abs(l - w_now)
+        out_ref[0, d] = c.astype(out_ref.dtype)
+
+
+def sgm_volume_pallas(
+    ref: jnp.ndarray,
+    other: jnp.ndarray,
+    d_count: int,
+    cost: str = "census",
+    dtype=jnp.int16,
+    row_strip: int = 64,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """models/modern._sgm_volume(layout="dhw") with the build fused in
+    VMEM: [(B,) H, W] int32 cost-input planes (census codes for census,
+    pixel intensities for SAD) -> the disparity-major volume
+    [(B,) D, H, W] in ``dtype`` — bit-identical values to the XLA
+    stacked build.  Requires W % 128 == 0 (the volume's W axis feeds
+    scan-major relayouts and must carry no lane padding).
+
+    MEASURED but NOT the production route (round 3): standalone this
+    is 1.4x the XLA stacked build (1.66 vs 2.37 ms/pair at 1 MP x 64 d
+    batch 32), but END-TO-END the pipeline is ~2% slower — XLA fuses
+    the stacked build into the downstream scan-major relayout
+    transposes (build + relayout in one volume pass each), and an
+    opaque kernel output forfeits that fusion.  Kept as the fair
+    baseline for any future layout rework that removes the relayouts
+    (it would then win outright)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    squeeze = ref.ndim == 2
+    if squeeze:
+        ref, other = ref[None], other[None]
+    b, h, w = ref.shape
+    if w % 128:
+        raise ValueError(f"W {w} must be a lane-tile multiple (got pad)")
+    hc = min(row_strip, _round_up(h, 8))
+    hp = _round_up(h, hc)
+    wr = _round_up(w + d_count, 128)
+    l_pad = jnp.pad(ref, ((0, 0), (0, hp - h), (0, 0)))
+    # Left-extend by exactly D columns of column 0 (the _extend_left
+    # clamp), right-pad to the lane tile (never read).
+    r_ext = jnp.concatenate(
+        [jnp.repeat(other[:, :, :1], d_count, axis=2), other], axis=2
+    )
+    r_pad = jnp.pad(r_ext, ((0, 0), (0, hp - h), (0, wr - w - d_count)))
+    kernel = functools.partial(_volume_kernel, d_count=d_count, cost=cost)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hp // hc),
+        in_specs=[
+            pl.BlockSpec((1, hc, w), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, wr), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d_count, hc, w), lambda bi, si: (bi, 0, si, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d_count, hp, w), dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(l_pad, r_pad)
+    out = out[:, :, :h, :]
+    return out[0] if squeeze else out
 
 
 _ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)

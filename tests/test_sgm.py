@@ -438,6 +438,53 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    @pytest.mark.parametrize("cost", ["census", "sad"])
+    def test_volume_builder_matches_xla(self, cost):
+        """sgm_volume_pallas (VMEM-fused build) must equal the XLA
+        stacked build bit for bit, batched and single, with the
+        edge-clamped left extension."""
+        import jax
+
+        from stereomatching_tpu.models.modern import (
+            _maybe_census,
+            _sgm_volume,
+        )
+        from stereomatching_tpu.ops.fused_sgm import sgm_volume_pallas
+
+        rng = np.random.default_rng(61)
+        params = ModernParams(num_disparities=16, aggregation="sgm",
+                              cost=cost)
+        l = jnp.asarray(rng.integers(0, 256, (2, 20, 256)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, (2, 20, 256)).astype(np.int32))
+        want = jax.vmap(
+            lambda a, b: _sgm_volume(a, b, params, layout="dhw",
+                                     dtype=jnp.int16)
+        )(l, r)
+        tf = jax.vmap(lambda x: _maybe_census(x, params))
+        got = sgm_volume_pallas(tf(l), tf(r), 16, cost=cost,
+                                dtype=jnp.int16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # Non-lane-multiple W must be rejected (callers fall back).
+        with pytest.raises(ValueError):
+            sgm_volume_pallas(tf(l)[..., :200], tf(r)[..., :200], 16,
+                              cost=cost)
+
+    def test_modern_sgm_pallas_route_lane_multiple_width(self):
+        """The full pallas route at a lane-multiple width exercises the
+        fused volume builder end-to-end vs the XLA tier."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(63)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 256)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 256)).astype(np.int32))
+        params = ModernParams(num_disparities=8, aggregation="sgm",
+                              cost="census")
+        want = modern_forward(l, r, params)
+        got = modern_forward(l, r, params, use_pallas=True)
+        for key in ("disparity", "disparity_right", "valid", "cost"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key)
+
     def test_uniqueness_second_best_brute(self):
         """c2 = min cost outside the winner's +-1 neighborhood, checked
         against literal loops."""

@@ -114,6 +114,12 @@ def main() -> int:
         return lambda: sgm_directional_pallas(v, 8, 96, reverse=reverse,
                                               interpret=False, **kw)
 
+    def sgm_volume(cost):
+        from stereomatching_tpu.ops.fused_sgm import sgm_volume_pallas
+        return lambda: sgm_volume_pallas(gray, gray, D, cost=cost,
+                                         dtype=jnp.int16,
+                                         interpret=False)
+
     def sgm_tail(uniq=False):
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
@@ -159,6 +165,8 @@ def main() -> int:
         "sgm-int8-fold": sgm_int8(True, fold=True),
         "sgm-tail": sgm_tail(),
         "sgm-tail-uniq": sgm_tail(uniq=True),
+        "sgm-volume-census": sgm_volume("census"),
+        "sgm-volume-sad": sgm_volume("sad"),
         "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),
         "modern-census": modern("census"),

@@ -38,7 +38,7 @@ def main() -> None:
         _sgm_out_dtype,
         _sgm_storage_dtype,
         _sgm_tail_fused,
-        _sgm_volume,
+        _sgm_volume_auto,
     )
     from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
@@ -70,9 +70,7 @@ def main() -> None:
     print(f"storage dtype: {jnp.dtype(sdt).name}")
 
     def vol_fn(l, r):
-        return jax.vmap(
-            lambda a, b: _sgm_volume(a, b, params, layout="dhw", dtype=sdt)
-        )(l, r)
+        return _sgm_volume_auto(l, r, params, sdt)
 
     def agg_fn(l, r):
         vol = vol_fn(l, r)
