@@ -48,11 +48,13 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=None,
                    help="default 256 for classic (the headline sweet "
                         "spot; 384+ exhausts HBM with the bench's 4 "
-                        "resident input sets) and 32 for sgm (its HBM "
-                        "ceiling; 32 OOMs)")
+                        "resident input sets) and 32 for sgm (its int8 "
+                        "HBM ceiling; 36 OOMs)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["wrap", "ghost"], default="ghost")
+    p.add_argument("--sgm-directions", type=int, default=4, choices=[4, 8],
+                   help="sgm pipeline: aggregation path count")
     p.add_argument("--pipeline", choices=["classic", "sgm"], default="classic",
                    help="sgm benches the modern pipeline's Semi-Global "
                         "Matching route (census cost; --batch 16-28 is "
@@ -98,7 +100,7 @@ def main() -> None:
 
         mparams = ModernParams(
             num_disparities=args.disparities, aggregation="sgm",
-            cost="census",
+            cost="census", sgm_directions=args.sgm_directions,
         )
 
         def step(left, right):
