@@ -51,7 +51,13 @@ def main() -> int:
                         "for 16-bit PNGs, 1.0 for 8-bit; ignored for "
                         ".pfm/.npy)")
     p.add_argument("--synthetic", type=int, default=None, metavar="MAX_D",
-                   help="evaluate on the built-in synthetic scene instead")
+                   help="evaluate on a built-in synthetic scene instead")
+    p.add_argument("--scene", default="blob",
+                   choices=["blob", "slanted", "rds"],
+                   help="which synthetic scene (--synthetic): textured "
+                        "blobs, a slanted disparity ramp (sub-pixel and "
+                        "diagonal-path probe), or a random-dot "
+                        "stereogram")
     args = p.parse_args()
 
     from stereomatching_tpu.cli import _ensure_platform
@@ -65,9 +71,25 @@ def main() -> int:
     from stereomatching_tpu.utils.synthetic import blob_scene
 
     if args.synthetic is not None:
-        left, right, gt = blob_scene(
-            h=270, w=480, seed=0, max_disparity=args.synthetic
-        )
+        if args.scene == "slanted":
+            from stereomatching_tpu.utils.synthetic import slanted_plane
+
+            left, right, gt = slanted_plane(
+                h=270, w=480, seed=0, d_min=1.0,
+                d_max=float(args.synthetic),
+            )
+        elif args.scene == "rds":
+            from stereomatching_tpu.utils.synthetic import (
+                random_dot_stereogram,
+            )
+
+            left, right, gt = random_dot_stereogram(
+                h=270, w=480, seed=0, max_disparity=args.synthetic // 2
+            )
+        else:
+            left, right, gt = blob_scene(
+                h=270, w=480, seed=0, max_disparity=args.synthetic
+            )
         gt = gt.astype(np.float64)
     else:
         if not (args.left and args.right and args.gt):
