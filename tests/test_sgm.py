@@ -438,6 +438,33 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    def test_aggregate_fuzz_shapes_penalties_directions(self):
+        """Randomized shapes / penalties / direction counts / storages:
+        the Pallas aggregation must match the XLA oracle bit for bit on
+        every draw (odd sizes, strips that don't divide S cleanly,
+        mid-chunk boundaries)."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        rng = np.random.default_rng(67)
+        for trial in range(6):
+            h = int(rng.integers(5, 24))
+            w = int(rng.integers(130, 200))  # > one lane tile
+            d = int(rng.integers(3, 14))
+            p1 = int(rng.integers(0, 6))
+            p2 = p1 + int(rng.integers(0, 40))
+            dirs = int(rng.choice([4, 8]))
+            small = bool(rng.integers(0, 2))
+            vol = rng.integers(0, 25, size=(h, w, d)).astype(np.int32)
+            want = np.asarray(sgm_aggregate(jnp.asarray(vol), p1, p2,
+                                            directions=dirs))
+            got = np.asarray(sgm_aggregate_pallas(
+                jnp.asarray(vol), p1, p2, directions=dirs,
+                small_values=small))
+            np.testing.assert_array_equal(
+                got, want,
+                err_msg=f"trial {trial}: h={h} w={w} d={d} p1={p1} "
+                        f"p2={p2} dirs={dirs} small={small}")
+
     @pytest.mark.parametrize("cost", ["census", "sad"])
     def test_volume_builder_matches_xla(self, cost):
         """sgm_volume_pallas (VMEM-fused build) must equal the XLA
