@@ -178,7 +178,8 @@ def main() -> None:
             from stereomatching_tpu.bench.roofline import measure_sgm
 
             rows = measure_sgm(h=h, w=w, d=args.disparities,
-                               batch=args.batch, iters=args.iters)
+                               batch=args.batch, iters=args.iters,
+                               directions=args.sgm_directions)
         else:
             from stereomatching_tpu.bench.roofline import measure
 

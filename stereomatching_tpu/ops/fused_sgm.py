@@ -640,6 +640,7 @@ def sgm_volume_pallas(
 
 
 _ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)
+_SGM_BIG = _BIG  # ops/sgm._BIG — the uniqueness pass's sentinel
 
 
 def _tail_kernel(
@@ -717,12 +718,15 @@ def _tail_kernel(
             # Second pass over the SAME VMEM-resident strip: min cost
             # outside the winner's +-1 neighborhood (the uniqueness
             # numerator) — no extra HBM traffic, just D more loads of
-            # resident data.
-            c2 = big
+            # resident data.  Sentinel is ops/sgm._BIG (2^28), NOT the
+            # argmin carries' _ARGBIG, so pixels where every disparity
+            # is excluded (D <= 3) emit the same bits as
+            # ops/sgm.second_best_outside_neighborhood.
+            c2 = jnp.full(shape, _SGM_BIG, jnp.int32)
             for d in range(d_count):
                 c = vol_ref[0, d, :, pl.ds(c0, chunk)].astype(jnp.int32)
                 c2 = jnp.minimum(
-                    c2, jnp.where(jnp.abs(best_d - d) <= 1, _ARGBIG, c)
+                    c2, jnp.where(jnp.abs(best_d - d) <= 1, _SGM_BIG, c)
                 )
             c2_ref[0, :, sl] = c2
         return 0

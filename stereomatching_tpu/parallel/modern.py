@@ -389,9 +389,10 @@ def _sgm_shard_forward(
 
         # Scan-major [W, D, bl*hs]: the batch and local rows are
         # independent scan lanes, so folding them into P keeps the
-        # kernel's per-step vector work wide.  Narrow storage (bf16
-        # lattice for census-class bounds, int16 otherwise) halves the
-        # kernel's DMA traffic; values bit-identical after widening.
+        # kernel's per-step vector work wide.  Narrow storage (the
+        # int8 > int16 > int32 ladder of _sgm_storage_dtype; int8 for
+        # census-class bounds with power-of-2 D) cuts the kernel's DMA
+        # traffic; values bit-identical after widening.
         sdt = _sgm_storage_dtype(params)
         vol_h = (
             jnp.transpose(vol, (2, 3, 0, 1)).reshape(w, d_count, bl * hs)

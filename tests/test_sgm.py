@@ -497,8 +497,10 @@ class TestPallasSGM:
                               cost=cost)
 
     def test_modern_sgm_pallas_route_lane_multiple_width(self):
-        """The full pallas route at a lane-multiple width exercises the
-        fused volume builder end-to-end vs the XLA tier."""
+        """The full pallas route at a lane-multiple width vs the XLA
+        tier.  (The pipeline deliberately uses the XLA stacked volume
+        build even here — sgm_volume_pallas was benched out of
+        production; test_volume_builder_matches_xla covers it.)"""
         from stereomatching_tpu.models.modern import modern_forward
 
         rng = np.random.default_rng(63)
@@ -556,6 +558,27 @@ class TestPallasSGM:
         # box route must reject the flag at config time
         with pytest.raises(ValueError):
             ModernParams(num_disparities=8, uniqueness=True)
+
+    def test_uniqueness_all_excluded_sentinel_matches_xla(self):
+        """D <= 3 puts every disparity inside the winner's +-1
+        neighborhood for some pixels; the fused tail's c2 sentinel must
+        be ops/sgm._BIG (2^28), not the argmin carries' 2^30, so both
+        tiers emit identical bits even in the degenerate case."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
+        from stereomatching_tpu.ops.sgm import (
+            second_best_outside_neighborhood,
+        )
+
+        rng = np.random.default_rng(71)
+        # D=2: winner d and d+-1 cover both disparities everywhere.
+        vol = jnp.asarray(rng.integers(0, 100, size=(2, 16, 128))
+                          .astype(np.int32))
+        outs = sgm_tail_pallas(vol, with_uniqueness=True)
+        disp = outs[0]
+        want = second_best_outside_neighborhood(vol, disp, layout="dhw")
+        np.testing.assert_array_equal(np.asarray(outs[4]),
+                                      np.asarray(want))
+        assert (np.asarray(outs[4]) == 2**28).all()
 
     def test_fill_background_semantics(self):
         """Background extension: holes take min(nearest valid left,
