@@ -168,27 +168,30 @@ def sgm_phase_models(params, h: int, w: int) -> Dict[str, Dict[str, float]]:
     wp = (_round_up(w, 128) + _round_up(d, 128)) / w
 
     # --- volume: census transform x2 (image in, codes out) + the
-    # d-slice stacked build.  XLA's build fusion re-reads the two code
-    # planes once per output tile row per disparity: model 8 B of code
-    # reads per volume element + the narrow volume write.  Census is
-    # ~40 element-ops/px (window compares + shifts + ors); the cost is
-    # xor + SWAR popcount ~16 ops per element.
+    # v-major VMEM builder (ops/fused_sgm.sgm_volume_vmajor_pallas):
+    # each code plane is DMA'd once per row strip (~8 B/px total) and
+    # the scan-major volume written once.  Census is ~40
+    # element-ops/px (window compares + shifts + ors); the cost is
+    # xor + SWAR popcount ~16 ops per element, plus ~2/element for the
+    # kernel's strided (d-indexed) store relayout.
     volume = dict(
-        bytes=16.0 * hw + 8.0 * vol_e + sz_v * vol_e,
+        bytes=16.0 * hw + 8.0 * hw + sz_v * vol_e,
         mxu=0.0,
-        vpu=2 * 40.0 * hw + 16.0 * vol_e,
+        vpu=2 * 40.0 * hw + 18.0 * vol_e,
     )
 
-    # --- aggregation: two scan-major relayouts (read + write each),
-    # per axis a forward pass (read vol, write L) and a folded reverse
-    # pass (read vol + read L, write the int16 axis sum), then the
-    # merge (read both sums, write the tail-padded dhw volume).
+    # --- aggregation: ONE scan-major relayout (vol_h from vol_v; the
+    # builder emits vol_v directly), per axis a forward pass (read
+    # vol, write L) and a folded reverse pass (read vol + read L,
+    # write the axis sum at the STORAGE width — biased int8 under the
+    # tiny_values contract), then the merge (read the per-axis sums,
+    # write the tail-padded dhw volume at the out dtype).
     dirs = params.sgm_directions
     n_axes = 2 + (2 if dirs == 8 else 0)  # diagonal pairs ride vol_v
-    relayout = 2 * (2.0 * sz_v * vol_e)
+    relayout = 2.0 * sz_v * vol_e
     walk_bytes = n_axes * (sz_v * vol_e + sz_v * vol_e  # fwd r+w
-                           + 2.0 * sz_v * vol_e + sz_s * vol_e)  # rev
-    merge = (dirs // 2) * sz_s * vol_e + sz_s * vol_e * wp
+                           + 2.0 * sz_v * vol_e + sz_v * vol_e)  # rev
+    merge = (dirs // 2) * sz_v * vol_e + sz_s * vol_e * wp
     walk_vpu = 14.0 * vol_e * (2 + (2 * 2.0 if dirs == 8 else 0))
     aggregation = dict(
         bytes=relayout + walk_bytes + merge,
@@ -233,12 +236,16 @@ def measure_sgm(
 
     from stereomatching_tpu.config import ModernParams
     from stereomatching_tpu.models.modern import (
+        _maybe_census,
         _sgm_forward_batched_pallas,
         _sgm_out_dtype,
+        _sgm_scan_major_volumes,
         _sgm_storage_dtype,
-        _sgm_volume,
     )
-    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+    from stereomatching_tpu.ops.fused_sgm import (
+        aggregate_from_scan_major,
+        sgm_volume_vmajor_pallas,
+    )
 
     params = ModernParams(
         num_disparities=d, aggregation="sgm", cost="census",
@@ -257,27 +264,36 @@ def measure_sgm(
     ]
     jax.block_until_ready(ins)
 
-    def vol_fn(l, r):
-        return jax.vmap(
-            lambda a, b: _sgm_volume(a, b, params, layout="dhw", dtype=sdt)
-        )(l, r)
+    # The volume phase is the production route's v-major VMEM builder
+    # alone (vol_h's transpose is part of the aggregation stage, as in
+    # sgm_phase_models).
+    def vol_v_fn(l, r):
+        tf = jax.vmap(
+            lambda x: _maybe_census(x.astype(jnp.int32), params)
+        )
+        return sgm_volume_vmajor_pallas(
+            tf(l), tf(r), d, cost=params.cost, dtype=sdt
+        )
 
     rows: List[Dict[str, float]] = []
     t = _time_checksum(
-        jax.jit(lambda l, r: vol_fn(l, r).astype(jnp.float32).sum()),
+        jax.jit(lambda l, r: vol_v_fn(l, r).astype(jnp.float32).sum()),
         ins, iters,
     )
     rows.append(verdict("volume", t / batch, models["volume"], peaks))
 
-    agg_kw = dict(
-        small_values=sdt == jnp.int16, tiny_values=sdt == jnp.int8,
-        layout="dhw", out_dtype=_sgm_out_dtype(params), tail_padded=True,
-        directions=directions,
-    )
+    def agg_fn(l, r):
+        vol_v, vol_h = _sgm_scan_major_volumes(l, r, params, sdt)
+        return aggregate_from_scan_major(
+            vol_v, vol_h, l.shape[0], params.sgm_p1, params.sgm_p2,
+            out_dtype=_sgm_out_dtype(params), layout="dhw",
+            tail_padded=True, directions=directions,
+        )
+
     t = _time_checksum(
-        jax.jit(lambda l, r: sgm_aggregate_pallas(
-            vol_fn(l, r), params.sgm_p1, params.sgm_p2, **agg_kw
-        ).astype(jnp.float32).sum()),
+        jax.jit(
+            lambda l, r: agg_fn(l, r).astype(jnp.float32).sum()
+        ),
         ins, iters,
     )
     agg_t = t / batch - rows[-1]["ms_per_pair"] / 1e3

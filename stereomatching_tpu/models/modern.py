@@ -250,18 +250,42 @@ def _maybe_median(disp, sub, dr, params: ModernParams, batched: bool):
 
 
 def _sgm_volume_auto(left, right, params: ModernParams, dtype):
-    """d-major volume for the Pallas SGM route.  Deliberately the XLA
-    stacked build: the VMEM-fused builder (ops/fused_sgm.
-    sgm_volume_pallas) measures FASTER standalone (1.66 vs 2.37
-    ms/pair at 1 MP x 64 d batch 32) but SLOWER end-to-end (7.55 vs
-    7.41) — XLA fuses the stacked build INTO the downstream scan-major
-    relayout transposes (build + relayout in one pass), which an
-    opaque kernel output blocks.  Measured round 3; identical
-    checksums throughout.  Accepts [H, W] or batched [B, H, W]."""
+    """d-major volume for the Pallas SGM route's FALLBACK (non-lane-
+    multiple widths).  The XLA stacked build: XLA fuses it INTO the
+    downstream scan-major relayout transposes (build + relayout in one
+    pass), which an opaque kernel output would block — the reason the
+    d-major sgm_volume_pallas was benched out of production in round
+    3.  Lane-multiple widths skip this entirely: the v-major builder
+    (_sgm_scan_major_volumes) emits the scan-major layout directly.
+    Accepts [H, W] or batched [B, H, W]."""
     build = lambda l, r: _sgm_volume(  # noqa: E731
         l, r, params, layout="dhw", dtype=dtype
     )
     return jax.vmap(build)(left, right) if left.ndim == 3 else build(left, right)
+
+
+def _sgm_scan_major_volumes(left, right, params: ModernParams, st):
+    """Both scan-major volumes for the Pallas aggregation, without ever
+    materializing the d-major [B, D, H, W] volume: the fused builder
+    (ops/fused_sgm.sgm_volume_vmajor_pallas) emits vol_v [H, D, B*W] in
+    ONE pass that reads each cost-input plane once, and vol_h
+    [W, D, B*H] is one XLA int transpose of it.  vs the round-3 route
+    (stacked build fused into TWO relayout transposes, each re-reading
+    the code planes per output tile) this halves the volume stage's
+    HBM traffic.  Requires W % 128 == 0 (the builder's lane-ownership
+    contract); values bit-identical to _sgm_volume + relayouts."""
+    from stereomatching_tpu.ops.fused_sgm import sgm_volume_vmajor_pallas
+
+    b, h, w = left.shape
+    d_count = params.num_disparities
+    tf = jax.vmap(lambda x: _maybe_census(x.astype(jnp.int32), params))
+    vol_v = sgm_volume_vmajor_pallas(
+        tf(left), tf(right), d_count, cost=params.cost, dtype=st
+    )
+    vol_h = jnp.transpose(
+        vol_v.reshape(h, d_count, b, w), (3, 1, 2, 0)
+    ).reshape(w, d_count, b * h)
+    return vol_v, vol_h
 
 
 def _sgm_tail_fused(
@@ -366,24 +390,12 @@ def _sgm_forward(
     from stereomatching_tpu.ops.sgm import sgm_aggregate
 
     if use_pallas:
-        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
-
-        # Disparity-major end to end: the volume is built d-major and
-        # stored in the narrowest exact dtype (bf16 lattice for census-
-        # class bounds, int16 storage otherwise — half the build's HBM
-        # writes either way), the kernel relayouts cost the same from
-        # either side, and the fused tail kernel reads the
-        # (int16-summed) aggregate once.
-        st = _sgm_storage_dtype(params)
-        vol = _sgm_volume_auto(left, right, params, st)
-        agg = sgm_aggregate_pallas(
-            vol, params.sgm_p1, params.sgm_p2,
-            small_values=st == jnp.int16, tiny_values=st == jnp.int8,
-            layout="dhw",
-            out_dtype=_sgm_out_dtype(params), tail_padded=True,
-            directions=params.sgm_directions,
-        )
-        return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
+        # One shared route with the batched entry (scan-major volumes
+        # + folded directional kernels + fused tail): a single pair is
+        # a batch of one — the kernels' lane chains are independent
+        # per pair, so results are bit-identical either way.
+        out = _sgm_forward_batched_pallas(left[None], right[None], params)
+        return {k: v[0] for k, v in out.items()}
     vol = _sgm_volume(left, right, params)
     agg = sgm_aggregate(vol, params.sgm_p1, params.sgm_p2,
                         directions=params.sgm_directions)
@@ -464,31 +476,44 @@ def _sgm_forward_batched_pallas(
     left: jnp.ndarray, right: jnp.ndarray, params: ModernParams
 ) -> Dict[str, jnp.ndarray]:
     """Batched SGM with ONE kernel dispatch per scan direction: the
-    batch rides the kernel's lane axis (sgm_aggregate_pallas), where
-    the latency-bound recurrence's per-step cost is nearly flat, so B
-    pairs cost close to one.  The d-major volume is built contiguous
-    then relayouted by sgm_aggregate_pallas; the argmin/LR tail is the
-    fused kernel (sgm_tail_pallas).
+    batch rides the kernel's lane axis, where the latency-bound
+    recurrence's per-step cost is nearly flat, so B pairs cost close
+    to one.  The argmin/LR tail is the fused kernel (sgm_tail_pallas).
 
-    Building the scan-major layouts directly measured SLOWER on chip
-    BOTH ways (1 MP x 64 d, batch 16, vs 9.3 ms/pair): transposing each
-    cost plane into place 12.0 (XLA transposed stack writes), and
-    pre-transposing the census operands so both volumes write
-    contiguously 11.7 (the cost expression evaluates twice and the
-    transposed-operand reads lose more than the relayout saves).  The
-    contiguous d-major build + XLA's optimized transposes stand."""
-    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+    Volume route (round 4): lane-multiple widths build the VERTICAL
+    scan-major volume directly in VMEM (_sgm_scan_major_volumes — one
+    pass, each code plane read once) and transpose vol_h from it; the
+    d-major volume is never materialized.  Other widths fall back to
+    the XLA stacked build + sgm_aggregate_pallas's relayouts.  (The
+    round-2 attempts at XLA-side scan-major builds measured slower
+    both ways — transposed stack writes 12.0 ms/pair, pre-transposed
+    operands 11.7 vs 9.3 — because the cost expression either
+    re-evaluates or the writes lose fusion; the VMEM builder avoids
+    both.)"""
+    from stereomatching_tpu.ops.fused_sgm import (
+        aggregate_from_scan_major,
+        sgm_aggregate_pallas,
+    )
 
     st = _sgm_storage_dtype(params)
-    vol = _sgm_volume_auto(left, right, params, st)
-    agg = sgm_aggregate_pallas(
-        vol, params.sgm_p1, params.sgm_p2,
-        small_values=st == jnp.int16, tiny_values=st == jnp.int8,
-        layout="dhw",
-        out_dtype=_sgm_out_dtype(params), tail_padded=True,
-        directions=params.sgm_directions,
-    )
-    return _sgm_tail_fused(agg, params, real_width=left.shape[-1])
+    b, h, w = left.shape
+    if w % 128 == 0:
+        vol_v, vol_h = _sgm_scan_major_volumes(left, right, params, st)
+        agg = aggregate_from_scan_major(
+            vol_v, vol_h, b, params.sgm_p1, params.sgm_p2,
+            out_dtype=_sgm_out_dtype(params), layout="dhw",
+            tail_padded=True, directions=params.sgm_directions,
+        )
+    else:
+        vol = _sgm_volume_auto(left, right, params, st)
+        agg = sgm_aggregate_pallas(
+            vol, params.sgm_p1, params.sgm_p2,
+            small_values=st == jnp.int16, tiny_values=st == jnp.int8,
+            layout="dhw",
+            out_dtype=_sgm_out_dtype(params), tail_padded=True,
+            directions=params.sgm_directions,
+        )
+    return _sgm_tail_fused(agg, params, real_width=w)
 
 
 def modern_forward(

@@ -761,6 +761,7 @@ def match_and_score_pallas_prehalo(
     halo: int,
     tile_rows: int | None = None,
     interpret: bool | None = None,
+    pre_extended: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel entry for row shards whose y-halo rows were already
     exchanged from neighbor shards (parallel/pipeline.py).
@@ -775,6 +776,13 @@ def match_and_score_pallas_prehalo(
     x padding for the box filter and all alignment padding are applied
     here; halo must be >= square_width // 2.
     -> (best, winner) int32 [B, hs, W].
+
+    ``pre_extended``: the caller already built the x extension into the
+    maps (2-D col-sharded tier: the x halos arrived by col exchange, so
+    wrap values are REAL neighbor columns, not a local modulo) — skip
+    the wrap re-derivation and treat the maps as ghost-style
+    pre-extended blocks whose out-of-block x pads only ever reach
+    discarded halo outputs.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -797,7 +805,7 @@ def match_and_score_pallas_prehalo(
     l_mid = l_halo[:, halo - half : rows_in - (halo - half), :]
     r_mid = r_halo[:, halo - half : rows_in - (halo - half), :]
     grow = pad_half - half
-    wrap = params.mode == BoundaryMode.WRAP
+    wrap = params.mode == BoundaryMode.WRAP and not pre_extended
 
     if wrap:
         # x pads wrap modulo W (columns 0..W-1 of the given maps are the

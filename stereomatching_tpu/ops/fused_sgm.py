@@ -54,6 +54,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2**28  # matches ops/sgm._BIG
+# int8 folded-sum bias: a per-axis direction sum is bounded by
+# 2 * (max_cost + p2) <= 252 under the tiny_values contract
+# (max_cost + p2 < 127), so sum - 128 spans [-128, 124] — exactly
+# representable in int8.  Consumers add the bias back (exact).
+_FOLD_BIAS = 128
 # bf16 padding sentinel: any value > the caller-asserted 256 bound works
 # (it only needs ORDER, not exactness: padded D rows must never win a
 # min).  512 and 512 +- p1/p2 neighborhoods stay > 256 under bf16
@@ -83,9 +88,12 @@ def _kernel(
     p2: int,
     reverse: bool,
     fold: bool = False,
+    fold_bias: int = 0,
     chunk_lanes: int | None = None,
     lane_shift: int = 0,
     lane_period: int = 0,
+    seeded: bool = False,
+    with_carry: bool = False,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
     scratch is read once and written once per strip (not per column).
@@ -122,11 +130,12 @@ def _kernel(
     overwriting it) resolves the read-after-overwrite hazard at column
     j vs j-1.  At a strip's first column the whole shifted carry is a
     direct offset slice of the cross-strip carry scratch."""
-    if fold:
-        add_ref, out_ref, *scratch = rest
-    else:
-        out_ref, *scratch = rest
-        add_ref = None
+    rest = list(rest)
+    add_ref = rest.pop(0) if fold else None
+    seed_ref = rest.pop(0) if seeded else None
+    out_ref = rest.pop(0)
+    carry_out_ref = rest.pop(0) if with_carry else None
+    scratch = rest
     carry = scratch[0]
     btraj = scratch[1] if len(scratch) > 1 else None
     s = pl.program_id(0)
@@ -226,13 +235,16 @@ def _kernel(
                     btraj[:, j : j + 1] = cv[:, own_bnd]
                     bnd_cur = bnd_next
                 if fold:
-                    # Sum in the wide domain, store in the fold dtype
-                    # (int16 when int8 storage can't hold the per-axis
-                    # sum; values bounded by 2*(max_cost+p2)).
+                    # Sum in the wide domain, store in the fold dtype:
+                    # int8 storage stores the per-axis sum BIASED by
+                    # _FOLD_BIAS (sum <= 2*(max_cost+p2) <= 252, so
+                    # sum - 128 is exact int8); wider storages hold the
+                    # raw sum.
                     a = add_ref[idx(j), :, sl]
                     if narrow:
                         a = a.astype(jnp.int32)
-                    stored = (cv + a).astype(io_dt) if narrow else cv + a
+                    s_val = cv + a - fold_bias if fold_bias else cv + a
+                    stored = s_val.astype(io_dt) if narrow else s_val
                 else:
                     stored = cv.astype(io_dt) if narrow else cv
                 out_ref[idx(j), :, sl] = stored
@@ -262,7 +274,8 @@ def _kernel(
                 a = add_ref[idx(j)]
                 if narrow:
                     a = a.astype(jnp.int32)
-                stored = (cv + a).astype(io_dt) if narrow else cv + a
+                s_val = cv + a - fold_bias if fold_bias else cv + a
+                stored = s_val.astype(io_dt) if narrow else s_val
             else:
                 stored = cv.astype(io_dt) if narrow else cv
             out_ref[idx(j)] = stored
@@ -279,11 +292,28 @@ def _kernel(
 
     @pl.when(s == 0)
     def _():
-        run(0)
+        if seeded:
+            # Continue the recurrence from a caller-provided carry
+            # (the previous shard's final carry in the phased
+            # cross-shard chain): no re-init — the first column is a
+            # regular step on the seed.  Diagonal passes shift the
+            # seed at consumption, exactly like any cross-strip carry.
+            carry[...] = seed_ref[...]
+            run(None)
+        else:
+            run(0)
 
     @pl.when(s > 0)
     def _():
         run(None)
+
+    if with_carry:
+        # The recurrence's final carry (UNSHIFTED — the consumer
+        # shifts, so shard hand-off is position-agnostic), for the
+        # next shard in a phased chain.
+        @pl.when(s == pl.num_programs(0) - 1)
+        def _():
+            carry_out_ref[...] = carry[...]
 
 
 def sgm_directional_pallas(
@@ -298,6 +328,8 @@ def sgm_directional_pallas(
     donate_volume: bool = False,
     lane_shift: int = 0,
     lane_period: int = 0,
+    seed: jnp.ndarray | None = None,
+    with_carry: bool = False,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -318,8 +350,11 @@ def sgm_directional_pallas(
     int8 input: quarter the DMA traffic; exact whenever
     max_cost + p2 < 127 (census-class costs) AND D equals its 32-row
     sublane round-up (no padded D rows — they would overflow int8
-    through the recurrence).  A folded int8 pass returns int16 (the
-    per-axis sum exceeds int8), which also forfeits donate_volume.
+    through the recurrence).  A folded int8 pass returns the per-axis
+    sum BIASED by _FOLD_BIAS (value - 128: the raw sum reaches
+    2*(max_cost+p2) <= 252, out of int8's range, the biased value
+    spans [-128, 124]) — consumers add the bias back; same byte width
+    as the volume, so donate_volume stays legal on folded passes.
 
     bfloat16 input selects the bf16 LATTICE (_step_math_bf16): the same
     16-bit DMA traffic as int16, but the recurrence runs in bf16
@@ -340,6 +375,17 @@ def sgm_directional_pallas(
     the whole strip with register-class carries — measured ~1.7-2.2x
     the full-plane form on chip, whose every step op stages through
     VMEM (tools/sgm_dir_probe.py ablation).
+
+    ``seed``: a [D, P] carry (vol dtype) to CONTINUE the recurrence
+    from instead of initializing at the first scanned column — the
+    sharded tier's phased cross-shard chain hands each shard the
+    previous shard's final carry (parallel/modern).  Diagonal passes
+    take the UNSHIFTED carry and shift it at consumption, exactly as
+    the in-kernel cross-strip hand-off does.  ``with_carry``: also
+    return the final (unshifted) [D, P] carry, for seeding the next
+    shard.  Seeded or carry-returning passes are bit-identical to
+    slicing one long unsharded pass at the shard boundary
+    (tests/test_sgm.py::test_directional_seed_carry_chain).
 
     ``donate_volume``: alias the volume operand to the output
     (in-place when the caller's volume is otherwise dead, e.g. the
@@ -400,14 +446,17 @@ def sgm_directional_pallas(
     n_strips = s // xc
 
     fold = add_to is not None
-    # Folded (per-axis direction-sum) stores need int16 when int8
-    # storage can't hold 2*(max_cost+p2); every other combination
-    # stores in the storage dtype.
-    io_dt = jnp.int16 if (fold and io8) else st_dt
+    # Folded (per-axis direction-sum) int8 stores are BIASED by
+    # _FOLD_BIAS so the sum fits int8 (see the docstring); every other
+    # combination stores the raw sum in the storage dtype.
+    fold_bias = _FOLD_BIAS if (fold and io8) else 0
+    io_dt = st_dt
+    seeded = seed is not None
     kernel = functools.partial(
         _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse,
-        fold=fold, chunk_lanes=chunk_lanes,
+        fold=fold, fold_bias=fold_bias, chunk_lanes=chunk_lanes,
         lane_shift=lane_shift, lane_period=lane_period,
+        seeded=seeded, with_carry=with_carry,
     )
     if reverse:
         index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
@@ -415,6 +464,7 @@ def sgm_directional_pallas(
         index_map = lambda i: (i, 0, 0)  # noqa: E731
     block = pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
     operands = [vol_pad]
+    in_specs = [block]
     if fold:
         if add_to.shape != vol.shape or add_to.dtype != st_dt:
             raise ValueError("add_to must match the volume's shape/dtype")
@@ -423,10 +473,26 @@ def sgm_directional_pallas(
         operands.append(
             jnp.pad(add_to, ((0, 0), (0, dp - d), (0, pp - p)))
         )
+        in_specs.append(block)
+    if seeded:
+        if seed.shape != (d, p) or seed.dtype != st_dt:
+            raise ValueError(
+                f"seed must be [{d}, {p}] in the storage dtype, got "
+                f"{seed.shape} {seed.dtype}"
+            )
+        # Pad rows take the sentinel (they must keep losing mins, as
+        # in the volume pad); pad lanes are independent junk chains.
+        operands.append(
+            jnp.pad(seed, ((0, dp - d), (0, pp - p)),
+                    constant_values=big_pad)
+        )
+        in_specs.append(
+            pl.BlockSpec((dp, pp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     if donate_volume and io_dt != st_dt:
-        # An int8 fold writes int16 — no byte-compatible buffer to
-        # reuse; the narrower volume already more than pays back the
-        # lost donation at peak HBM.
+        # No byte-compatible buffer to reuse (cannot happen with the
+        # current io_dt ladder; kept as a guard for future fold modes).
         donate_volume = False
     scratch = [pltpu.VMEM((dp, pp), st_dt)]
     if lane_shift:
@@ -435,17 +501,29 @@ def sgm_directional_pallas(
         # xc), in the widened domain.
         wide = jnp.bfloat16 if soft else jnp.int32
         scratch.append(pltpu.VMEM((dp, max(xc + 1, 128)), wide))
+    out_specs = block
+    out_shape = jax.ShapeDtypeStruct((s, dp, pp), io_dt)
+    if with_carry:
+        out_specs = [
+            block,
+            pl.BlockSpec((dp, pp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((dp, pp), st_dt)]
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[block] * len(operands),
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((s, dp, pp), io_dt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
         input_output_aliases={0: 0} if donate_volume else {},
     )(*operands)
+    if with_carry:
+        out, carry = out
+        return out[:s, :d, :p], carry[:d, :p]
     return out[:s, :d, :p]
 
 
@@ -637,6 +715,106 @@ def sgm_volume_pallas(
     )(l_pad, r_pad)
     out = out[:, :, :h, :]
     return out[0] if squeeze else out
+
+
+def _vmajor_volume_kernel(
+    l_ref,  # [1, hc, Wo] left cost-input plane (census codes / pixels)
+    r_ref,  # [1, hc, Wr] right plane, LEFT-extended by D (edge) + pad
+    out_ref,  # [hc, D, Wo] — one batch element's row strip, v-scan-major
+    *,
+    d_count: int,
+    cost: str,
+):
+    """_volume_kernel with the stores turned 90°: the per-disparity
+    [hc, W] cost plane lands at out_ref[:, d, :], so the kernel emits
+    the VERTICAL scan-major layout [H, D, B*W] the directional passes
+    consume — no host-side relayout of the d-major volume, and the cost
+    inputs are DMA'd once per strip instead of XLA's build-into-
+    transpose fusion re-reading the code planes once per output tile
+    (the ~8 B/element read term in bench/roofline.sgm_phase_models).
+    The d-indexed store is a strided sublane write (Mosaic relayouts it
+    in-register — measured cheaper than the HBM round-trip it
+    replaces)."""
+    l = l_ref[0]
+    wr = r_ref.shape[-1]
+    win = pltpu.roll(r_ref[0], (wr - d_count) % wr, 1)  # left by D
+    wo = out_ref.shape[-1]
+    for d in range(d_count):
+        if d:
+            win = pltpu.roll(win, 1, 1)
+        w_now = win[:, :wo]
+        if cost == "census":
+            from stereomatching_tpu.ops.costvolume import popcount32
+
+            c = popcount32(l ^ w_now)
+        else:
+            c = jnp.abs(l - w_now)
+        out_ref[:, d, :] = c.astype(out_ref.dtype)
+
+
+def sgm_volume_vmajor_pallas(
+    ref: jnp.ndarray,
+    other: jnp.ndarray,
+    d_count: int,
+    cost: str = "census",
+    dtype=jnp.int16,
+    row_strip: int = 64,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Cost volume built DIRECTLY in the vertical scan-major layout:
+    [B, H, W] int32 cost-input planes (census codes for census, pixel
+    intensities for SAD) -> [H, D, B*W] in ``dtype`` — the exact
+    vol_v operand of aggregate_from_scan_major, with the batch folded
+    into lanes.  Bit-identical values to the XLA stacked build
+    (models/modern._sgm_volume(layout="dhw")) followed by the
+    transpose; requires W % 128 == 0 (each batch element must own a
+    whole number of lane tiles) and H % row-strip divisibility is
+    handled internally.
+
+    Replaces the d-major build + vol_v relayout of the round-3 route:
+    one pass that reads each code plane once and writes the volume
+    once (the horizontal layout vol_h is one XLA transpose away —
+    models/modern._sgm_scan_major_volumes)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if ref.ndim != 3:
+        raise ValueError("sgm_volume_vmajor_pallas takes batched [B, H, W]")
+    b, h, w = ref.shape
+    if w % 128:
+        raise ValueError(f"W {w} must be a lane-tile multiple")
+    hc = min(row_strip, h)
+    while h % hc:
+        hc -= 1
+    wr = _round_up(w + d_count, 128)
+    # Left-extend by exactly D columns of column 0 (the _extend_left
+    # clamp), right-pad to the lane tile (never read).
+    r_ext = jnp.concatenate(
+        [jnp.repeat(other[:, :, :1], d_count, axis=2), other], axis=2
+    )
+    r_pad = jnp.pad(r_ext, ((0, 0), (0, 0), (0, wr - w - d_count)))
+    kernel = functools.partial(
+        _vmajor_volume_kernel, d_count=d_count, cost=cost
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hc),
+        in_specs=[
+            pl.BlockSpec((1, hc, w), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, wr), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # Out lanes are B*W: block (hc, D, W) at lane-block index bi
+        # covers exactly batch element bi's W lanes (W % 128 == 0).
+        out_specs=pl.BlockSpec(
+            (hc, d_count, w), lambda bi, si: (si, 0, bi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, d_count, b * w), dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(ref, r_pad)
+    return out
 
 
 _ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)
@@ -869,7 +1047,8 @@ def sgm_aggregate_pallas(
     num_disparities is a power of two >= 32) selects int8 STORAGE for
     the volume relayouts and directional passes — QUARTER the HBM/DMA
     traffic of this bandwidth-heavy stage; the folded per-axis sums
-    still store int16.  Overrides small_values and soft_values.
+    also store int8, biased by _FOLD_BIAS (un-biased in the merge).
+    Overrides small_values and soft_values.
 
     ``out_dtype`` (default int32) narrows the summed output — exact
     when the caller's direction-sum bound directions*(max_cost + p2)
@@ -953,19 +1132,28 @@ def aggregate_from_scan_major(
     b = batch
     assert bw == b * w and bh == b * h, (vol_v.shape, vol_h.shape, b)
     acc = jnp.int32 if out_dtype is None else out_dtype
+    io8 = vol_v.dtype == jnp.int8
+    bias = jnp.asarray(_FOLD_BIAS, acc)
+
+    def unbias(x):
+        # int8 folds arrive biased by _FOLD_BIAS (sgm_directional_
+        # pallas); the constant add fuses into the merge expression.
+        x = x.astype(acc)
+        return x + bias if io8 else x
+
     run = functools.partial(
         sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret
     )
     # The reverse pass folds the forward output into its stores
     # (exact: the per-axis sum is <= 2x the directional bound, which
-    # fits both io dtypes by the small_values contract) and reuses
-    # the then-dead volume buffer in place (donate_volume) — one
-    # volume less at peak HBM per axis, which is what capped the
-    # batch at 28 (docs/BENCHMARKS.md).
-    lr = run(vol_h, reverse=True, add_to=run(vol_h),
-             donate_volume=True).astype(acc)
-    tb = run(vol_v, reverse=True, add_to=run(vol_v),
-             donate_volume=directions == 4).astype(acc)
+    # fits the io dtype by the small_values / biased-int8 contract)
+    # and reuses the then-dead volume buffer in place (donate_volume)
+    # — one volume less at peak HBM per axis, which is what capped
+    # the batch at 28 (docs/BENCHMARKS.md).
+    lr = unbias(run(vol_h, reverse=True, add_to=run(vol_h),
+                    donate_volume=True))
+    tb = unbias(run(vol_v, reverse=True, add_to=run(vol_v),
+                    donate_volume=directions == 4))
     diags = []
     if directions == 8:
         # The four diagonal paths ride the SAME vertical scan-major
@@ -975,11 +1163,11 @@ def aggregate_from_scan_major(
         # Each opposing pair folds into one output like the axes do;
         # the LAST pass over vol_v takes the donation.
         dg = functools.partial(run, lane_period=w)
-        diags.append(dg(vol_v, lane_shift=-1, reverse=True,
-                        add_to=dg(vol_v, lane_shift=1)).astype(acc))
-        diags.append(dg(vol_v, lane_shift=1, reverse=True,
-                        add_to=dg(vol_v, lane_shift=-1),
-                        donate_volume=True).astype(acc))
+        diags.append(unbias(dg(vol_v, lane_shift=-1, reverse=True,
+                               add_to=dg(vol_v, lane_shift=1))))
+        diags.append(unbias(dg(vol_v, lane_shift=1, reverse=True,
+                               add_to=dg(vol_v, lane_shift=-1),
+                               donate_volume=True)))
     if layout == "dhw":
         unfold_v = lambda x: jnp.transpose(  # noqa: E731
             x.reshape(h, d, b, w), (2, 1, 0, 3)

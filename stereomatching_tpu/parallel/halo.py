@@ -28,6 +28,56 @@ import jax
 import jax.numpy as jnp
 
 
+def _exchange_halo(
+    x: jnp.ndarray,
+    halo: int,
+    axis_name: str,
+    n_shards: int,
+    circular: bool,
+    fill: float | int,
+    axis: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared body of the row (axis=-2) and column (axis=-1) exchanges:
+    -> (low, high) halo blocks of ``halo`` slices each along ``axis``."""
+    hs = x.shape[axis]
+    if halo > hs:
+        raise ValueError(
+            f"halo {halo} exceeds shard extent {hs} on axis {axis}: use "
+            "fewer shards on that mesh axis (halo width == dependency "
+            "reach, src/stereo-ghost.c:11-12)"
+        )
+    take = lambda a, b: jax.lax.slice_in_dim(x, a, b, axis=axis)  # noqa: E731
+    high_slices = take(hs - halo, hs)  # what the next shard needs as low
+    low_slices = take(0, halo)  # what the previous shard needs as high
+
+    if n_shards == 1:
+        if circular:
+            return high_slices, low_slices
+        f = jnp.full_like(high_slices, fill)
+        return f, jnp.full_like(low_slices, fill)
+
+    if circular:
+        perm_down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        perm_up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    else:
+        perm_down = [(i, i + 1) for i in range(n_shards - 1)]
+        perm_up = [(i, i - 1) for i in range(1, n_shards)]
+
+    # ppermute delivers zeros to devices no pair targets — already the
+    # right open-boundary fill for integer planes; overwrite when the
+    # caller needs a different constant (the 128.0 brightness halo).
+    low = jax.lax.ppermute(high_slices, axis_name, perm_down)
+    high = jax.lax.ppermute(low_slices, axis_name, perm_up)
+
+    if not circular and fill != 0:
+        idx = jax.lax.axis_index(axis_name)
+        low = jnp.where(idx == 0, jnp.full_like(low, fill), low)
+        high = jnp.where(
+            idx == n_shards - 1, jnp.full_like(high, fill), high
+        )
+    return low, high
+
+
 def exchange_row_halo(
     x: jnp.ndarray,
     halo: int,
@@ -43,41 +93,24 @@ def exchange_row_halo(
     Open boundaries are filled with ``fill``.
     ``n_shards`` is the static size of the rows mesh axis.
     """
-    hs = x.shape[-2]
-    if halo > hs:
-        raise ValueError(
-            f"halo {halo} exceeds shard height {hs}: use more rows per "
-            "shard or fewer row shards (halo width == dependency reach, "
-            "src/stereo-ghost.c:11-12)"
-        )
-    bottom_rows = x[..., hs - halo :, :]  # what the shard below needs as top
-    top_rows = x[..., :halo, :]  # what the shard above needs as bottom
+    return _exchange_halo(x, halo, axis_name, n_shards, circular, fill, -2)
 
-    if n_shards == 1:
-        if circular:
-            return bottom_rows, top_rows
-        f = jnp.full_like(bottom_rows, fill)
-        return f, jnp.full_like(top_rows, fill)
 
-    if circular:
-        perm_down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        perm_up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    else:
-        perm_down = [(i, i + 1) for i in range(n_shards - 1)]
-        perm_up = [(i, i - 1) for i in range(1, n_shards)]
-
-    # ppermute delivers zeros to devices no pair targets — already the
-    # right open-boundary fill for integer planes; overwrite when the
-    # caller needs a different constant (the 128.0 brightness halo).
-    top = jax.lax.ppermute(bottom_rows, axis_name, perm_down)
-    bottom = jax.lax.ppermute(top_rows, axis_name, perm_up)
-
-    if not circular and fill != 0:
-        idx = jax.lax.axis_index(axis_name)
-        filled = jnp.full_like(top, fill)
-        top = jnp.where(idx == 0, filled, top)
-        bottom = jnp.where(idx == n_shards - 1, filled, bottom)
-    return top, bottom
+def exchange_col_halo(
+    x: jnp.ndarray,
+    halo: int,
+    axis_name: str,
+    n_shards: int,
+    circular: bool,
+    fill: float | int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (left, right) halo blocks of ``halo`` columns each,
+    [..., H, halo] — the x-axis twin of exchange_row_halo, for the
+    cols mesh axis.  The reference's ghost layer pads BOTH axes
+    (src/ghost.h:54-55); the x halo is the wider one there (shift
+    reach num_shifts + window half, src/stereo-ghost.c:11-12), so a
+    cols split must size its exchange accordingly."""
+    return _exchange_halo(x, halo, axis_name, n_shards, circular, fill, -1)
 
 
 def with_row_halo(
@@ -93,3 +126,33 @@ def with_row_halo(
         return x
     top, bottom = exchange_row_halo(x, halo, axis_name, n_shards, circular, fill)
     return jnp.concatenate([top, x, bottom], axis=-2)
+
+
+def with_col_halo(
+    x: jnp.ndarray,
+    halo: int,
+    axis_name: str,
+    n_shards: int,
+    circular: bool,
+    fill: float | int = 0,
+    right_halo: int | None = None,
+) -> jnp.ndarray:
+    """Concatenate exchanged column halos: [..., H, Ws] ->
+    [..., H, halo + Ws + right_halo].  ``right_halo`` (default =
+    ``halo``) sizes the right side independently — the classic
+    pipeline's x reach is asymmetric (the shift slide only reads to
+    the RIGHT by num_shifts, the box window +-half both ways)."""
+    rh = halo if right_halo is None else right_halo
+    if halo == 0 and rh == 0:
+        return x
+    parts = []
+    if halo:
+        left, _ = exchange_col_halo(x, halo, axis_name, n_shards,
+                                    circular, fill)
+        parts.append(left)
+    parts.append(x)
+    if rh:
+        _, right = exchange_col_halo(x, rh, axis_name, n_shards,
+                                     circular, fill)
+        parts.append(right)
+    return jnp.concatenate(parts, axis=-1)

@@ -47,8 +47,17 @@ from stereomatching_tpu.ops.costvolume import (
     _extend_right,
     argmin_subpixel_scan,
 )
-from stereomatching_tpu.parallel.halo import with_row_halo
-from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
+from stereomatching_tpu.parallel.halo import (
+    exchange_col_halo,
+    with_col_halo,
+    with_row_halo,
+)
+from stereomatching_tpu.parallel.mesh import (
+    COLS_AXIS,
+    DATA_AXIS,
+    ROWS_AXIS,
+    mesh_cols,
+)
 
 
 def _cost_reach(params: ModernParams) -> int:
@@ -111,6 +120,149 @@ def _prepare_cost_blocks(
     return lx, rx
 
 
+def _prepare_cost_blocks_2d(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    n_rows: int,
+    n_cols: int,
+):
+    """2-D twin of _prepare_cost_blocks: pixel halos in BOTH axes.
+
+    x halo = num_disparities + window//2 (the slide's reach plus the
+    box window — the reference's x-ghost rule scaled to the modern
+    pipeline), y halo = window//2; the census margin rides on top of
+    both.  Boundary semantics, matching the single-chip ops exactly:
+      * out-of-global raw pixels replicate the global edge (the
+        census_transform mode="edge" pad), rows first then cols so
+        corners replicate the corner pixel;
+      * out-of-global CODE columns are then overwritten with the
+        global edge code column — the _extend_left/_extend_right
+        clamp operates on census CODES, which is NOT the same as the
+        code computed at a replicated-pixel position;
+      * cost positions outside the global image contribute ZERO to the
+        box sums (the _aggregate zero pad), enforced by the returned
+        position-validity mask (the 2-D route masks the cost plane
+        explicitly instead of the rows-only route's zero-input trick,
+        because the slide misaligns input zeros across the x
+        boundary).
+    -> (lx, rx, valid) with blocks [bl, hs + 2*yh, ws + 2*xh] and
+    ``valid`` a [1, hs + 2*yh, ws + 2*xh] bool position mask."""
+    bl, hs, ws = left.shape
+    half = params.window // 2
+    ch = params.census_window // 2 if params.cost == "census" else 0
+    yh = half
+    xh = half + params.num_disparities
+    rax, cax = ROWS_AXIS, COLS_AXIS
+
+    def ext2d(x, ry, rx_):
+        x = with_col_halo(x, rx_, cax, n_cols, circular=False)
+        return with_row_halo(x, ry, rax, n_rows, circular=False)
+
+    lx = ext2d(left, yh + ch, xh + ch)
+    rx = ext2d(right, yh + ch, xh + ch)
+
+    ridx = jax.lax.axis_index(rax)
+    cidx = jax.lax.axis_index(cax)
+    g_r = (ridx * hs + jnp.arange(-yh - ch, hs + yh + ch))[None, :, None]
+    g_c = (cidx * ws + jnp.arange(-xh - ch, ws + xh + ch))[None, None, :]
+    h_g, w_g = n_rows * hs, n_cols * ws
+
+    def edge_replicate(x):
+        first_r = x[:, yh + ch : yh + ch + 1, :]
+        last_r = x[:, yh + ch + hs - 1 : yh + ch + hs, :]
+        x = jnp.where(g_r < 0, first_r, x)
+        x = jnp.where(g_r >= h_g, last_r, x)
+        first_c = x[:, :, xh + ch : xh + ch + 1]
+        last_c = x[:, :, xh + ch + ws - 1 : xh + ch + ws]
+        x = jnp.where(g_c < 0, first_c, x)
+        x = jnp.where(g_c >= w_g, last_c, x)
+        return x
+
+    if ch > 0:
+        lx, rx = edge_replicate(lx), edge_replicate(rx)
+        from stereomatching_tpu.ops.costvolume import census_transform
+
+        tf = jax.vmap(lambda p: census_transform(p, params.census_window))
+        lx, rx = tf(lx), tf(rx)
+        lx = lx[:, ch:-ch, ch:-ch]
+        rx = rx[:, ch:-ch, ch:-ch]
+        g_r = g_r[:, ch:-ch, :]
+        g_c = g_c[:, :, ch:-ch]
+
+    # Code-level clamp at the global x boundary (the extend semantics).
+    first_c = lambda x: x[:, :, xh : xh + 1]  # noqa: E731
+    last_c = lambda x: x[:, :, xh + ws - 1 : xh + ws]  # noqa: E731
+    lx = jnp.where(g_c < 0, first_c(lx), lx)
+    lx = jnp.where(g_c >= w_g, last_c(lx), lx)
+    rx = jnp.where(g_c < 0, first_c(rx), rx)
+    rx = jnp.where(g_c >= w_g, last_c(rx), rx)
+
+    valid = (g_r >= 0) & (g_r < h_g) & (g_c >= 0) & (g_c < w_g)
+    return lx, rx, valid
+
+
+def _disparity_block_xla_2d(
+    ref: jnp.ndarray,
+    oth: jnp.ndarray,
+    valid: jnp.ndarray,
+    params: ModernParams,
+    reference: str,
+    hs: int,
+    ws: int,
+):
+    """One-view fused disparity scan on 2-D halo blocks
+    [hs + 2*half, ws + 2*xh] -> DisparityResult on the [hs, ws] core
+    (the column-sharded form of _disparity_block_xla: the slide reads
+    the x halo instead of a local extend, and out-of-global cost
+    positions are masked to zero — the _aggregate pad)."""
+    from stereomatching_tpu.models.modern import _pixel_cost
+
+    half = params.window // 2
+    d_count = params.num_disparities
+    xh = half + d_count
+    h_blk = ref.shape[0]
+    wc = ws + 2 * half
+    p0 = xh - half
+    pcost = _pixel_cost(params)
+    ref_c = jax.lax.slice_in_dim(ref, p0, p0 + wc, axis=-1)
+    valid_c = jax.lax.slice_in_dim(valid, p0, p0 + wc, axis=-1)
+
+    def cost_at(d):
+        off = p0 + d if reference == "right" else p0 - d
+        win = jax.lax.dynamic_slice(
+            oth, (jnp.zeros((), d.dtype), off), (h_blk, wc)
+        )
+        cost = jnp.where(valid_c, pcost(ref_c, win), 0)
+        agg = _aggregate(cost, half)
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(agg, half, half + hs, axis=0),
+            half, half + ws, axis=1,
+        )
+
+    return argmin_subpixel_scan(cost_at, d_count, (hs, ws))
+
+
+def _lr_sharded_cols(dl, dr, params: ModernParams, n_cols: int):
+    """lr_consistency with the right-view lookup's x reach (dL(x) <=
+    num_disparities) satisfied by a LEFT column halo; the global-left
+    boundary holds the single-chip out-of-frame sentinel (2^20 — never
+    within max_diff)."""
+    big = 2**20
+    d_count = params.num_disparities
+    halo, _ = exchange_col_halo(dr, d_count, COLS_AXIS, n_cols,
+                                circular=False, fill=big)
+    dr_ext = jnp.concatenate([halo, dr], axis=-1)
+    ws = dl.shape[-1]
+    valid = jnp.zeros(dl.shape, bool)
+    for d in range(d_count):
+        dr_shift = dr_ext[..., d_count - d : d_count - d + ws]
+        valid = valid | (
+            (dl == d) & (jnp.abs(dr_shift - d) <= params.lr_max_diff)
+        )
+    return valid
+
+
 def _disparity_block_xla(
     ref: jnp.ndarray,
     oth: jnp.ndarray,
@@ -141,9 +293,10 @@ def _disparity_block_xla(
     return argmin_subpixel_scan(cost_at, d_count, (hs, w))
 
 
-def _median_sharded(plane: jnp.ndarray, n_rows: int) -> jnp.ndarray:
-    """3x3 median with a 1-row exchange; global boundary rows replicate
-    (median3x3 pads mode="edge")."""
+def _median_sharded(plane: jnp.ndarray, n_rows: int,
+                    n_cols: int = 1, has_cols: bool = False) -> jnp.ndarray:
+    """3x3 median with a 1-px exchange per sharded spatial axis; global
+    boundaries replicate (median3x3 pads mode="edge")."""
     from stereomatching_tpu.ops.costvolume import median3x3
 
     bl, hs, w = plane.shape
@@ -154,21 +307,34 @@ def _median_sharded(plane: jnp.ndarray, n_rows: int) -> jnp.ndarray:
         idx == n_rows - 1, ext[:, hs : hs + 1, :], ext[:, hs + 1 : hs + 2, :]
     )
     ext = jnp.concatenate([top, plane, bot], axis=1)
+    if has_cols:
+        cext = with_col_halo(ext, 1, COLS_AXIS, n_cols, circular=False)
+        cidx = jax.lax.axis_index(COLS_AXIS)
+        lcol = jnp.where(cidx == 0, cext[:, :, 1:2], cext[:, :, 0:1])
+        rcol = jnp.where(
+            cidx == n_cols - 1, cext[:, :, w : w + 1],
+            cext[:, :, w + 1 : w + 2],
+        )
+        ext = jnp.concatenate([lcol, ext, rcol], axis=-1)
+        out = jax.vmap(median3x3)(ext)
+        return out[:, 1 : 1 + hs, 1 : 1 + w]
     # median3x3 pads x edge-replicated (W whole) and y edge-replicated —
     # the y pad duplicates our halo rows, whose windows are sliced away.
     out = jax.vmap(median3x3)(ext)
     return out[:, 1 : 1 + hs, :]
 
 
-def _fill_sharded(sub, valid, params, n_rows):
+def _fill_sharded(sub, valid, params, n_rows, n_cols=1, has_cols=False):
     """fill_mode dispatch for the sharded routes: background extension
-    is x-only (intra-shard — one vmapped associative_scan, no
-    exchange); diffusion runs the per-step 1-row halo exchange."""
+    is x-only (intra-shard — one vmapped associative_scan, no exchange;
+    requires cols=1, enforced at entry); diffusion runs the per-step
+    1-px halo exchange on each sharded spatial axis."""
     if params.fill_mode == "background":
         from stereomatching_tpu.ops.costvolume import fill_background
 
         return jax.vmap(fill_background)(sub, valid)
-    return _fill_invalid_sharded(sub, valid, params.fill_iterations, n_rows)
+    return _fill_invalid_sharded(sub, valid, params.fill_iterations,
+                                 n_rows, n_cols, has_cols)
 
 
 def _fill_invalid_sharded(
@@ -176,9 +342,12 @@ def _fill_invalid_sharded(
     valid: jnp.ndarray,
     iterations: int,
     n_rows: int,
+    n_cols: int = 1,
+    has_cols: bool = False,
 ) -> jnp.ndarray:
-    """ops/costvolume.fill_invalid with a per-step 1-row halo exchange
-    (zero fill at the global boundary == the single-chip zero pad)."""
+    """ops/costvolume.fill_invalid with a per-step 1-px halo exchange
+    per sharded spatial axis (zero fill at the global boundary == the
+    single-chip zero pad)."""
     d = disparity.astype(jnp.float32)
     v = valid.astype(jnp.float32)
     bl, hs, w = d.shape
@@ -186,21 +355,38 @@ def _fill_invalid_sharded(
     def one(state, _):
         d, v = state
         dv = d * v
-        # One exchange per step: stack the two planes, ship one strip.
+        # One exchange per step per axis: stack the two planes, ship
+        # one strip.
         both = jnp.stack([dv, v])  # [2, bl, hs, W]
         ext = with_row_halo(both, 1, ROWS_AXIS, n_rows, circular=False)
-        dv_e, v_e = ext[0], ext[1]  # [bl, hs+2, W]
+        if has_cols:
+            ext = with_col_halo(ext, 1, COLS_AXIS, n_cols,
+                                circular=False)
+            dv_e, v_e = ext[0], ext[1]  # [bl, hs+2, W+2]
 
-        def neigh(x_e, x):
-            return (
-                jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
-                + jnp.pad(x[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
-                + x_e[:, 2:, :]
-                + x_e[:, :-2, :]
-            )
+            def neigh(x_e):
+                return (
+                    x_e[:, 1:-1, 2:]
+                    + x_e[:, 1:-1, :-2]
+                    + x_e[:, 2:, 1:-1]
+                    + x_e[:, :-2, 1:-1]
+                )
 
-        num = neigh(dv_e, dv)
-        den = neigh(v_e, v)
+            num = neigh(dv_e)
+            den = neigh(v_e)
+        else:
+            dv_e, v_e = ext[0], ext[1]  # [bl, hs+2, W]
+
+            def neigh(x_e, x):
+                return (
+                    jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+                    + jnp.pad(x[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+                    + x_e[:, 2:, :]
+                    + x_e[:, :-2, :]
+                )
+
+            num = neigh(dv_e, dv)
+            den = neigh(v_e, v)
         avg = num / jnp.maximum(den, 1.0)
         newly = (v == 0) & (den > 0)
         return (jnp.where(newly, avg, d), jnp.where(newly, 1.0, v)), None
@@ -315,6 +501,78 @@ def _sgm_vertical_sharded(vol, p1: int, p2: int, n_rows: int,
     return tb, bt
 
 
+def _sgm_vertical_sharded_pallas(
+    vol_sm: jnp.ndarray,
+    bl: int,
+    w: int,
+    p1: int,
+    p2: int,
+    n_rows: int,
+    dx_tb: int = 0,
+    dx_bt: int = 0,
+):
+    """_sgm_vertical_sharded with the per-shard strips running the
+    VMEM directional kernel instead of lax.scan — the round-3 verdict's
+    gap: tiling must not change the per-tile kernel (the reference's
+    ghost-zone rule, src/stereo-ghost.cu:146-159).  ``vol_sm``: this
+    shard's rows in the kernel's scan-major layout [hs, D, bl*W],
+    already narrowed to the storage dtype.  The phased ppermute chain
+    is unchanged (in phase j shard j runs top->down while shard
+    n-1-j runs bottom->up); each shard's strip is ONE seeded kernel
+    call (seed = the previous shard's final carry, with_carry hands
+    ours on), so the per-shard walk is bit-identical to slicing the
+    single-chip kernel at the shard boundary
+    (tests/test_sgm.py::test_directional_seed_carry_chain).
+    -> (top_down, bottom_up) as int32 [bl, hs, W, D] blocks."""
+    from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+    hs, d, p = vol_sm.shape
+    st = vol_sm.dtype
+    period = w if (dx_tb or dx_bt) else 0
+    my = jax.lax.axis_index(ROWS_AXIS)
+
+    zero_carry = jnp.zeros((d, p), st)
+    out_tb = jnp.zeros((hs, d, p), st)
+    out_bt = jnp.zeros((hs, d, p), st)
+    carry_tb = seed_tb = zero_carry
+    carry_bt = seed_bt = zero_carry
+    for j in range(n_rows):
+        seeded = j > 0
+
+        def run_tb(out, carry, seed):
+            del out, carry
+            return sgm_directional_pallas(
+                vol_sm, p1, p2, seed=seed if seeded else None,
+                with_carry=True, lane_shift=dx_tb, lane_period=period,
+            )
+
+        def run_bt(out, carry, seed):
+            del out, carry
+            return sgm_directional_pallas(
+                vol_sm, p1, p2, reverse=True,
+                seed=seed if seeded else None, with_carry=True,
+                lane_shift=dx_bt, lane_period=period,
+            )
+
+        keep = lambda out, carry, seed: (out, carry)  # noqa: E731
+        out_tb, carry_tb = jax.lax.cond(
+            my == j, run_tb, keep, out_tb, carry_tb, seed_tb
+        )
+        out_bt, carry_bt = jax.lax.cond(
+            my == n_rows - 1 - j, run_bt, keep, out_bt, carry_bt, seed_bt
+        )
+        if j < n_rows - 1:
+            down = [(i, i + 1) for i in range(n_rows - 1)]
+            up = [(i, i - 1) for i in range(1, n_rows)]
+            seed_tb = jax.lax.ppermute(carry_tb, ROWS_AXIS, down)
+            seed_bt = jax.lax.ppermute(carry_bt, ROWS_AXIS, up)
+
+    unfold = lambda x: jnp.transpose(  # noqa: E731
+        x.astype(jnp.int32).reshape(hs, d, bl, w), (2, 0, 3, 1)
+    )
+    return unfold(out_tb), unfold(out_bt)
+
+
 def _census_blocks_sgm(left, right, params: ModernParams, n_rows: int):
     """Cost-input planes for the sharded SGM path: census codes (with a
     census-window halo exchange and edge-replicated global boundaries,
@@ -352,9 +610,11 @@ def _sgm_shard_forward(
     The horizontal recurrences, the volume argmin, the right-view
     re-projection, and LR consistency are all x-only and stay
     intra-shard; the vertical recurrences run as a phased carry chain
-    (_sgm_vertical_sharded).  ``use_pallas`` routes the horizontal
-    passes through the VMEM kernel (ops/fused_sgm.py) with the local
-    batch*rows folded into the kernel's independent lane axis."""
+    (_sgm_vertical_sharded).  ``use_pallas`` routes EVERY directional
+    pass through the VMEM kernel (ops/fused_sgm.py): horizontals with
+    the local batch*rows folded into the kernel's lane axis, verticals
+    and diagonals as seeded per-shard kernel strips in the phased
+    chain (_sgm_vertical_sharded_pallas)."""
     from stereomatching_tpu.models.modern import _pixel_cost
     from stereomatching_tpu.ops.costvolume import lr_consistency
     from stereomatching_tpu.ops.sgm import (
@@ -403,23 +663,40 @@ def _sgm_shard_forward(
             x.astype(jnp.int32).reshape(w, d_count, bl, hs), (2, 3, 0, 1)
         )
         lr_pass, rl_pass = unfold(f_h), unfold(b_h)
+        # The y-crossing passes (verticals AND diagonals) run the SAME
+        # kernel per shard through the seeded phased chain; all three
+        # pairs share one scan-major relayout of the local block.
+        vol_v = (
+            jnp.transpose(vol, (1, 3, 0, 2)).reshape(hs, d_count, bl * w)
+        ).astype(sdt)
+        tb_pass, bt_pass = _sgm_vertical_sharded_pallas(
+            vol_v, bl, w, p1, p2, n_rows
+        )
     else:
         lr_pass = jax.vmap(lambda v: _directional(v, p1, p2))(vol)
         rl_pass = jnp.flip(
             jax.vmap(lambda v: _directional(v, p1, p2))(jnp.flip(vol, axis=2)),
             axis=2,
         )
-    tb_pass, bt_pass = _sgm_vertical_sharded(vol, p1, p2, n_rows)
+        tb_pass, bt_pass = _sgm_vertical_sharded(vol, p1, p2, n_rows)
     agg = lr_pass + rl_pass + tb_pass + bt_pass
     if params.sgm_directions == 8:
         # Diagonal paths: the carry shift is x-only (intra-shard), so
         # each diagonal pair runs the same phased chain as the
         # verticals.  dx pairs mirror ops/sgm.sgm_aggregate: r=(1,1)
         # with r=(-1,-1) (tb dx=1 / bt dx=-1), r=(1,-1) with r=(-1,1).
-        d1, d3 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
-                                       dx_tb=1, dx_bt=-1)
-        d2, d4 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
-                                       dx_tb=-1, dx_bt=1)
+        if use_pallas:
+            d1, d3 = _sgm_vertical_sharded_pallas(
+                vol_v, bl, w, p1, p2, n_rows, dx_tb=1, dx_bt=-1
+            )
+            d2, d4 = _sgm_vertical_sharded_pallas(
+                vol_v, bl, w, p1, p2, n_rows, dx_tb=-1, dx_bt=1
+            )
+        else:
+            d1, d3 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
+                                           dx_tb=1, dx_bt=-1)
+            d2, d4 = _sgm_vertical_sharded(vol, p1, p2, n_rows,
+                                           dx_tb=-1, dx_bt=1)
         agg = agg + d1 + d2 + d3 + d4
 
     disp, sub, cost = jax.vmap(volume_argmin_subpixel)(agg)
@@ -460,6 +737,57 @@ def _sgm_shard_forward(
     if uniq is not None:
         out["uniqueness"] = uniq
     return out
+
+
+def _modern_shard_forward_2d(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    params: ModernParams,
+    n_rows: int,
+    n_cols: int,
+) -> Dict[str, jnp.ndarray]:
+    """Per-shard body for 2-D (rows x cols) spatial meshes — box
+    aggregation, XLA per-shard compute (the VMEM kernel's zero-input
+    boundary trick does not survive the slide's x-boundary
+    misalignment, so the 2-D tier runs the masked-cost XLA route;
+    rows-only meshes keep the production kernel path).  Bit-identical
+    to the single-chip tier (tests/test_sharded_modern.py)."""
+    bl, hs, ws = left.shape
+    lx, rx, valid = _prepare_cost_blocks_2d(
+        left.astype(jnp.int32), right.astype(jnp.int32), params,
+        n_rows, n_cols,
+    )
+    vmask = valid[0]
+    fl = jax.vmap(
+        lambda a, b: _disparity_block_xla_2d(a, b, vmask, params,
+                                             "left", hs, ws)
+    )
+    fr = jax.vmap(
+        lambda a, b: _disparity_block_xla_2d(b, a, vmask, params,
+                                             "right", hs, ws)
+    )
+    dl = fl(lx, rx)
+    dr = fr(lx, rx)
+
+    if params.median_filter:
+        med = functools.partial(_median_sharded, n_rows=n_rows,
+                                n_cols=n_cols, has_cols=True)
+        dl = dl._replace(disparity=med(dl.disparity),
+                         subpixel=med(dl.subpixel))
+        dr = dr._replace(disparity=med(dr.disparity))
+
+    valid_lr = _lr_sharded_cols(dl.disparity, dr.disparity, params,
+                                n_cols)
+    filled = _fill_sharded(dl.subpixel, valid_lr, params, n_rows,
+                           n_cols, has_cols=True)
+    return {
+        "disparity": dl.disparity,
+        "subpixel": dl.subpixel,
+        "disparity_right": dr.disparity,
+        "valid": valid_lr,
+        "filled": filled,
+        "cost": dl.cost,
+    }
 
 
 def _modern_shard_forward(
@@ -549,6 +877,8 @@ def sharded_modern_forward(
             "pyramid does not row-shard evenly)"
         )
     n_rows = mesh.shape[ROWS_AXIS]
+    has_cols = COLS_AXIS in mesh.axis_names
+    n_cols = mesh_cols(mesh)
     h = left.shape[1]
     hs = h // n_rows
     if params.aggregation == "sgm":
@@ -560,7 +890,32 @@ def sharded_modern_forward(
             f"height {h} must split into >= {max(reach, 1)}-row shards "
             f"across {n_rows} row shards (halo reach {reach})"
         )
-    plane = P(DATA_AXIS, ROWS_AXIS, None)
+    if has_cols:
+        if params.aggregation == "sgm" and n_cols > 1:
+            raise ValueError(
+                "sharded modern SGM supports rows-only spatial meshes "
+                "(the horizontal recurrence crosses col shards); use "
+                "cols=1 or box aggregation"
+            )
+        if params.fill_mode == "background" and n_cols > 1:
+            raise ValueError(
+                "fill_mode='background' is a global x scanline scan — "
+                "it does not col-shard; use cols=1 or diffusion fill"
+            )
+        w = left.shape[2]
+        wsz = w // n_cols
+        ch = params.census_window // 2 if params.cost == "census" else 0
+        x_reach = params.num_disparities + params.window // 2 + ch
+        if w % n_cols or wsz < max(x_reach, 1):
+            raise ValueError(
+                f"width {w} must split into >= {max(x_reach, 1)}-column "
+                f"shards across {n_cols} col shards (x halo reach "
+                f"{x_reach} = num_disparities + window//2 + census "
+                "margin)"
+            )
+        plane = P(DATA_AXIS, ROWS_AXIS, COLS_AXIS)
+    else:
+        plane = P(DATA_AXIS, ROWS_AXIS, None)
     out_specs = {
         "disparity": plane,
         "subpixel": plane,
@@ -571,17 +926,21 @@ def sharded_modern_forward(
     }
     if params.uniqueness and params.aggregation == "sgm":
         out_specs["uniqueness"] = plane
-    body = (
-        _sgm_shard_forward
-        if params.aggregation == "sgm"
-        else _modern_shard_forward
-    )
-    f = functools.partial(
-        body,
-        params=params,
-        n_rows=n_rows,
-        use_pallas=use_pallas,
-    )
+    if params.aggregation == "sgm":
+        f = functools.partial(
+            _sgm_shard_forward, params=params, n_rows=n_rows,
+            use_pallas=use_pallas,
+        )
+    elif has_cols and n_cols > 1:
+        f = functools.partial(
+            _modern_shard_forward_2d, params=params, n_rows=n_rows,
+            n_cols=n_cols,
+        )
+    else:
+        f = functools.partial(
+            _modern_shard_forward, params=params, n_rows=n_rows,
+            use_pallas=use_pallas,
+        )
     return jax.shard_map(
         f,
         mesh=mesh,

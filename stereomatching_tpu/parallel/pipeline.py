@@ -42,8 +42,17 @@ from stereomatching_tpu.config import (
 )
 from stereomatching_tpu.ops.aggregate import box_sum_padded_auto
 from stereomatching_tpu.ops.edges import find_edges_padded
-from stereomatching_tpu.parallel.halo import with_row_halo
-from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
+from stereomatching_tpu.parallel.halo import (
+    exchange_col_halo,
+    with_col_halo,
+    with_row_halo,
+)
+from stereomatching_tpu.parallel.mesh import (
+    COLS_AXIS,
+    DATA_AXIS,
+    ROWS_AXIS,
+    mesh_cols,
+)
 
 
 def _pad_x(x: jnp.ndarray, pad: int, mode: BoundaryMode, fill=0) -> jnp.ndarray:
@@ -72,20 +81,34 @@ def _shard_forward(
     params: StereoParams,
     n_rows: int,
     use_pallas: bool = False,
+    n_cols: int = 1,
+    has_cols: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Per-shard body.  left/right: [bl, hs, W] local brightness blocks.
-    Runs inside shard_map with ROWS_AXIS/DATA_AXIS bound."""
+    """Per-shard body.  left/right: [bl, hs, Ws] local brightness blocks.
+    Runs inside shard_map with ROWS_AXIS/DATA_AXIS (and, for 2-D
+    spatial meshes, COLS_AXIS) bound.  With ``has_cols`` every x
+    dependency is satisfied by a COLUMN halo exchange sized to its
+    reach — the distributed form of the reference's x ghost zones
+    (src/ghost.h:54-55: `IGX` pads both axes; widths
+    src/stereo-ghost.c:11-12) — instead of local padding."""
     bl, hs, w = left.shape
     mode = params.mode
     circ = mode == BoundaryMode.WRAP
     half = params.half
     d = params.num_shifts
     ax = ROWS_AXIS
+    cax = COLS_AXIS
 
-    # --- Step 1: edges.  1-px halo in x locally, in y via exchange; the
-    # exchanged rows arrive already x-padded so stencil corners are right.
+    # --- Step 1: edges.  1-px halo in x (locally when W is whole, via
+    # col exchange on a 2-D spatial mesh), in y via exchange; the rows
+    # are exchanged AFTER the x extension so stencil corners arrive
+    # from the diagonal neighbor through the row neighbor's block.
     def edges_of(img: jnp.ndarray) -> jnp.ndarray:
-        xp = _pad_x(img, 1, mode, GHOST_BRIGHTNESS_FILL)
+        if has_cols:
+            xp = with_col_halo(img, 1, cax, n_cols, circ,
+                               GHOST_BRIGHTNESS_FILL)
+        else:
+            xp = _pad_x(img, 1, mode, GHOST_BRIGHTNESS_FILL)
         padded = with_row_halo(xp, 1, ax, n_rows, circ, GHOST_BRIGHTNESS_FILL)
         return jax.vmap(
             lambda p: find_edges_padded(p, params.threshold, params.edge_rule)
@@ -94,45 +117,70 @@ def _shard_forward(
     edges_l = edges_of(left)
     edges_r = edges_of(right)
 
-    # --- Steps 2a-2c fused over shifts.  Exchange the edge maps once with
-    # a halo of the box filter's reach; match planes for halo rows are
-    # recomputed locally from the exchanged edges.
-    l_ext = with_row_halo(edges_l, half, ax, n_rows, circ)  # [bl, hs+2h, W]
-    r_x = _extend_right_x(edges_r, d, mode)  # [bl, hs, W+D]
-    r_ext = with_row_halo(r_x, half, ax, n_rows, circ)  # [bl, hs+2h, W+D]
+    # --- Steps 2a-2c fused over shifts.  Exchange the edge maps once
+    # with a halo of each axis's dependency reach; match planes for
+    # halo rows/cols are recomputed locally from the exchanged edges.
+    # x reach is asymmetric: the box window needs +-half, the shift
+    # slide reads a further num_shifts to the RIGHT only.
+    if has_cols:
+        edges_l_x = with_col_halo(edges_l, half, cax, n_cols, circ)
+        edges_r_x = with_col_halo(edges_r, half, cax, n_cols, circ,
+                                  right_halo=half + d)
+    else:
+        edges_l_x, edges_r_x = edges_l, _extend_right_x(edges_r, d, mode)
+    l_ext = with_row_halo(edges_l_x, half, ax, n_rows, circ)
+    r_ext = with_row_halo(edges_r_x, half, ax, n_rows, circ)
+    wl = edges_l_x.shape[-1]  # ws (+ 2*half with cols)
+    x_off = half if has_cols else 0
 
     if mode == BoundaryMode.GHOST:
         # Ghost mode's match halo is zero-filled (src/stereo-ghost.c:93-97):
-        # rows outside the global image must contribute zero matches, but
+        # pixels outside the global image must contribute zero matches, but
         # locally recomputed halo matches would be (0 == 0) == 1.  Mask by
-        # global row validity.
+        # global row (and, 2-D, column) validity.
         row_idx = jax.lax.axis_index(ax)
         g = row_idx * hs + jnp.arange(hs + 2 * half) - half
-        valid = ((g >= 0) & (g < n_rows * hs)).astype(jnp.int32)
-        valid = valid[None, :, None]
+        valid = ((g >= 0) & (g < n_rows * hs))[None, :, None]
+        if has_cols:
+            col_idx = jax.lax.axis_index(cax)
+            gx = col_idx * w + jnp.arange(wl) - x_off
+            valid = valid & ((gx >= 0) & (gx < n_cols * w))[None, None, :]
+        valid = valid.astype(jnp.int32)
     else:
         valid = None
 
     if use_pallas:
         # Per-shard VMEM kernel (ops/fused.py) on the halo-exchanged edge
-        # maps: the production intra-chip path.  Out-of-global ghost rows
-        # carry a non-edge sentinel so their matches vanish in-kernel.
+        # maps: the production intra-chip path.  Out-of-global ghost
+        # pixels carry a non-edge sentinel so their matches vanish
+        # in-kernel; x-halo columns of the output are sliced away.
         from stereomatching_tpu.ops.fused import match_and_score_pallas_prehalo
 
         l_in = l_ext if valid is None else jnp.where(valid == 1, l_ext, 2)
         best, winner = match_and_score_pallas_prehalo(
-            l_in, r_ext, params, halo=half
+            l_in, r_ext, params, halo=half, pre_extended=has_cols
         )
+        if has_cols:
+            best = best[:, :, x_off : x_off + w]
+            winner = winner[:, :, x_off : x_off + w]
     else:
 
         def step(carry, i):
             best, winner = carry
-            r_i = jax.lax.dynamic_slice_in_dim(r_ext, i, w, axis=-1)
+            r_i = jax.lax.dynamic_slice_in_dim(r_ext, i, wl, axis=-1)
             match_ext = (l_ext == r_i).astype(jnp.int32)
             if valid is not None:
                 match_ext = match_ext * valid
-            sums = box_sum_padded_auto(_pad_x(match_ext, half, mode), half)
-            match = match_ext[:, half : half + hs, :]
+            if has_cols:
+                # The x halo IS the box filter's x padding.
+                sums = box_sum_padded_auto(match_ext, half)
+                match = match_ext[:, half : half + hs,
+                                  x_off : x_off + w]
+            else:
+                sums = box_sum_padded_auto(
+                    _pad_x(match_ext, half, mode), half
+                )
+                match = match_ext[:, half : half + hs, :]
             score = jnp.where(match == 1, sums, 0)
             # Last-wins tie rule (src/stereo.c:211-219) via >= running max.
             winner = jnp.where(score >= best, i + 1, winner)
@@ -155,7 +203,7 @@ def _shard_forward(
     # adjacent row, which the halo rows supply at shard seams.
     steps = max(params.times - 1, 0)
     web = winner
-    if steps > 0:
+    if steps > 0 and not has_cols:
 
         def one_step(state, _):
             prev, cur = state
@@ -171,12 +219,51 @@ def _shard_forward(
             return (cur, nxt), None
 
         (_, web), _ = jax.lax.scan(one_step, (winner, winner), None, length=steps)
+    elif steps > 0:
+        # 2-D spatial variant: the reference's FLAT-index neighbors
+        # (p+-1, p+-w, src/stereo.c:237-243) cross a row at the global
+        # x boundary — (y, 0)'s left neighbor is (y-1, W-1).  A 1-px
+        # circular col exchange on the row-extended block delivers the
+        # neighbor columns WITH the +-1 rows present, and the global
+        # boundary shards row-shift their received column to realize
+        # the flat wrap; everything else is a plain 2-D shift.
+        col_idx = jax.lax.axis_index(cax)
 
-    # --- Step 3b: contour.  Per-image global min/max over the rows axis
-    # (the reference's device-wide tree reduction, src/util.cu:15-45,
-    # becomes an ICI collective).
-    max_e = jax.lax.pmax(web.max(axis=(-2, -1)), ax)  # [bl]
-    min_e = jax.lax.pmin(web.min(axis=(-2, -1)), ax)  # [bl]
+        def one_step(state, _):
+            prev, cur = state
+            ext = with_row_halo(cur, 1, ax, n_rows, circular=False)
+            lcol, rcol = exchange_col_halo(ext, 1, cax, n_cols,
+                                           circular=True)
+            if n_cols == 1:
+                lshift = jnp.concatenate(
+                    [jnp.zeros_like(lcol[:, :1]), lcol[:, :-1]], axis=1)
+                rshift = jnp.concatenate(
+                    [rcol[:, 1:], jnp.zeros_like(rcol[:, :1])], axis=1)
+                lcol, rcol = lshift, rshift
+            else:
+                lshift = jnp.concatenate(
+                    [jnp.zeros_like(lcol[:, :1]), lcol[:, :-1]], axis=1)
+                rshift = jnp.concatenate(
+                    [rcol[:, 1:], jnp.zeros_like(rcol[:, :1])], axis=1)
+                lcol = jnp.where(col_idx == 0, lshift, lcol)
+                rcol = jnp.where(col_idx == n_cols - 1, rshift, rcol)
+            ext2 = jnp.concatenate([lcol, ext, rcol], axis=-1)
+            right_n = ext2[:, 1:-1, 2:]
+            left_n = ext2[:, 1:-1, :-2]
+            up_n = ext2[:, :-2, 1:-1]
+            down_n = ext2[:, 2:, 1:-1]
+            avg = (right_n + down_n + left_n + up_n) // 4
+            nxt = jnp.where(cur == 0, avg, prev)
+            return (cur, nxt), None
+
+        (_, web), _ = jax.lax.scan(one_step, (winner, winner), None, length=steps)
+
+    # --- Step 3b: contour.  Per-image global min/max over the spatial
+    # axes (the reference's device-wide tree reduction,
+    # src/util.cu:15-45, becomes an ICI collective).
+    sp_axes = (ax, cax) if has_cols else ax
+    max_e = jax.lax.pmax(web.max(axis=(-2, -1)), sp_axes)  # [bl]
+    min_e = jax.lax.pmin(web.min(axis=(-2, -1)), sp_axes)  # [bl]
     interval = jnp.maximum((max_e - min_e) // params.lines, 1)
     # Division-free banding, robust to +-1 quotient misrounding (see
     # ops/contour.py for the exactness argument).
@@ -208,9 +295,30 @@ def sharded_classic_forward(
     """Full pipeline on a global batch [B, H, W] sharded over ``mesh``.
     B must divide by the data axis, H by the rows axis; shard height must
     be >= the halo reach max(1, square_width // 2).  ``use_pallas``
-    routes each shard's cost-volume phase through the VMEM kernel."""
+    routes each shard's cost-volume phase through the VMEM kernel.
+
+    A 3-axis (data, rows, cols) mesh additionally shards W: shard width
+    must cover the x reach — num_shifts + square_width//2 on the right
+    (the shift slide + box window, the reference's widest ghost zone,
+    src/stereo-ghost.c:11-12) — each satisfied by one col halo
+    exchange.  Bit-identical to the single-chip tier either way."""
     n_rows = mesh.shape[ROWS_AXIS]
-    plane = P(DATA_AXIS, ROWS_AXIS, None)
+    has_cols = COLS_AXIS in mesh.axis_names
+    n_cols = mesh_cols(mesh)
+    if has_cols:
+        w = left.shape[-1]
+        ws = w // n_cols
+        reach = params.num_shifts + params.half
+        if w % n_cols or ws < max(reach, 1):
+            raise ValueError(
+                f"width {w} must split into >= {max(reach, 1)}-column "
+                f"shards across {n_cols} col shards (x halo reach "
+                f"{reach} = num_shifts + square_width//2, "
+                "src/stereo-ghost.c:11-12)"
+            )
+        plane = P(DATA_AXIS, ROWS_AXIS, COLS_AXIS)
+    else:
+        plane = P(DATA_AXIS, ROWS_AXIS, None)
     scalar = P(DATA_AXIS)
     out_specs = {
         "edges-1": plane,
@@ -223,7 +331,8 @@ def sharded_classic_forward(
         "max_elevation": scalar,
     }
     f = functools.partial(
-        _shard_forward, params=params, n_rows=n_rows, use_pallas=use_pallas
+        _shard_forward, params=params, n_rows=n_rows, use_pallas=use_pallas,
+        n_cols=n_cols, has_cols=has_cols,
     )
     return jax.shard_map(
         f,

@@ -115,6 +115,51 @@ def slanted_plane(
     return left, right, disparity
 
 
+def occlusion_mask(disparity: np.ndarray) -> np.ndarray:
+    """True where a LEFT-view pixel has no correspondence in the right
+    view — the ground-truth occlusion mask for generators built by the
+    inverse warp right[y, x] = left[y, (x + d(y, x)) % w] (blob_scene,
+    random_dot_stereogram).  A left pixel xl is visible iff some right
+    pixel samples it: exists xr with (xr + d(y, xr)) % w == xl.
+    -> bool [H, W], True = occluded.
+
+    This is exactly the pixel set LR consistency exists to reject, so
+    the eval harness can score occlusion RECALL (how many truly
+    occluded pixels the check invalidates) instead of only counting
+    coverage."""
+    h, w = disparity.shape
+    vis = np.zeros((h, w), dtype=bool)
+    yy, xx = np.mgrid[0:h, 0:w]
+    vis[yy, (xx + disparity) % w] = True
+    return ~vis
+
+
+def photometric_perturb(
+    left: np.ndarray,
+    right: np.ndarray,
+    noise_sigma: float = 0.0,
+    gain: float = 1.0,
+    bias: float = 0.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Photometric robustness perturbation: independent Gaussian pixel
+    noise on BOTH views plus a gain/bias exposure asymmetry applied to
+    the RIGHT view only (right' = gain * right + bias + noise) — the
+    standard radiometric-difference model census costs are supposed to
+    be invariant to and SAD is not.  Values clip back to u8."""
+    rng = np.random.default_rng(seed)
+
+    def u8(x):
+        return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+    lf = left.astype(np.float64)
+    rf = right.astype(np.float64) * gain + bias
+    if noise_sigma > 0:
+        lf = lf + rng.normal(0.0, noise_sigma, left.shape)
+        rf = rf + rng.normal(0.0, noise_sigma, right.shape)
+    return u8(lf), u8(rf)
+
+
 def size_sweep_sizes() -> Tuple[Tuple[int, int], ...]:
     """The reference's fixture resolutions (test/imgs/, SURVEY.md §2 #22),
     including the 8K pair stripped from its mirror."""

@@ -1,0 +1,102 @@
+"""Quality regression gate — pins bad-pixel / EPE / robustness floors
+so a kernel or pipeline change that silently degrades MATCH QUALITY
+(not just bit-compat, which the differential suites pin) fails CI.
+
+Thresholds are set ~30-50% above the measured round-4 values
+(docs/BENCHMARKS.md quality matrix) — loose enough for platform noise,
+tight enough that a real regression (e.g. a broken tie rule or a
+mis-seeded recurrence) trips them.  All scenes are the built-in
+synthetic generators with exact ground truth (utils/synthetic.py); the
+photometric cases are the BASELINE.md robustness dimension the
+environment's missing datasets cannot provide.
+"""
+
+import numpy as np
+import pytest
+
+from stereomatching_tpu.config import ModernParams
+from stereomatching_tpu.models.modern import build_modern_pipeline
+from stereomatching_tpu.utils.metrics import disparity_report
+from stereomatching_tpu.utils.synthetic import (
+    blob_scene,
+    occlusion_mask,
+    photometric_perturb,
+    slanted_plane,
+)
+
+
+def _run(cost, left, right, gt, aggregation="box", directions=4):
+    params = ModernParams(
+        num_disparities=16, window=9, cost=cost, aggregation=aggregation,
+        sgm_directions=directions,
+    )
+    out = build_modern_pipeline(params)(
+        left.astype(np.int32), right.astype(np.int32)
+    )
+    valid = np.asarray(out["valid"])
+    rep = disparity_report(
+        np.asarray(out["subpixel"]), gt.astype(np.float64), valid
+    )
+    rep["_valid"] = valid
+    return rep
+
+
+@pytest.fixture(scope="module")
+def blob():
+    left, right, gt = blob_scene(h=135, w=240, seed=0, max_disparity=12)
+    return left, right, gt
+
+
+@pytest.mark.parametrize("cost", ["sad", "census"])
+def test_clean_blob_floor(blob, cost):
+    left, right, gt = blob
+    rep = _run(cost, left, right, gt)
+    # measured round 4: sad 0.120 / census 0.112 bad1, EPE ~0.8-0.86
+    assert rep["bad1"] <= 0.16, rep
+    assert rep["epe"] <= 1.2, rep
+    assert rep["coverage"] >= 0.90, rep
+
+
+def test_census_gain_bias_invariance(blob):
+    """Census's radiometric invariance, DEMONSTRATED (round-3 verdict:
+    it was asserted, never shown): under a gain-0.5/bias-40 exposure
+    asymmetry census quality stays at its clean level while SAD's bad1
+    roughly doubles."""
+    left, right, gt = blob
+    lp, rp = photometric_perturb(left, right, noise_sigma=0.0,
+                                 gain=0.5, bias=40.0, seed=1)
+    census = _run("census", lp, rp, gt)
+    sad = _run("sad", lp, rp, gt)
+    # measured: census 0.109 (clean 0.112), sad 0.224 (clean 0.120)
+    assert census["bad1"] <= 0.16, census
+    assert sad["bad1"] >= census["bad1"] + 0.05, (sad, census)
+
+
+def test_occlusion_recall_floor(blob):
+    """LR consistency must reject a meaningful share of TRULY occluded
+    pixels (ground truth from the inverse-warp occlusion model)."""
+    left, right, gt = blob
+    occ = occlusion_mask(gt)
+    assert occ.any()
+    rep = _run("sad", left, right, gt)
+    recall = float((~rep["_valid"])[occ].mean())
+    # measured round 4: 0.187
+    assert recall >= 0.10, recall
+
+
+def test_sgm_clean_blob_floor(blob):
+    left, right, gt = blob
+    rep = _run("sad", left, right, gt, aggregation="sgm")
+    assert rep["bad1"] <= 0.16, rep
+    assert rep["coverage"] >= 0.90, rep
+
+
+def test_slanted_subpixel_epe():
+    """The parabola refinement must track a linear disparity ramp well
+    below the 0.5-px integer staircase floor."""
+    left, right, gt = slanted_plane(h=135, w=240, seed=0,
+                                    d_min=1.0, d_max=6.0)
+    rep = _run("sad", left, right, gt)
+    # measured round 4: EPE 0.095, bad1 0.0
+    assert rep["epe"] <= 0.2, rep
+    assert rep["bad1"] <= 0.02, rep

@@ -2,6 +2,7 @@
 force NumPy reference, and end-to-end quality gain over box matching on
 low-texture scenes (SGM's raison d'être)."""
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -417,9 +418,9 @@ class TestPallasSGM:
 
     @pytest.mark.parametrize("directions", [4, 8])
     def test_aggregate_tiny_values_bit_identical(self, directions):
-        """tiny_values (int8 storage; int16 folded sums) must match the
-        int32 path bit for bit, including the dhw tail-padded merge and
-        the diagonal passes."""
+        """tiny_values (int8 storage; biased-int8 folded sums) must
+        match the int32 path bit for bit, including the dhw tail-padded
+        merge and the diagonal passes."""
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
         rng = np.random.default_rng(41)
@@ -558,6 +559,73 @@ class TestPallasSGM:
         # box route must reject the flag at config time
         with pytest.raises(ValueError):
             ModernParams(num_disparities=8, uniqueness=True)
+
+    @pytest.mark.parametrize("cost,dtype", [("census", jnp.int8),
+                                            ("census", jnp.int16),
+                                            ("sad", jnp.int16)])
+    def test_volume_vmajor_builder_matches_xla(self, cost, dtype):
+        """The v-scan-major VMEM builder (the production volume route
+        for lane-multiple widths) must equal the XLA stacked build +
+        transpose bit for bit, and reject non-lane-multiple widths."""
+        from stereomatching_tpu.models.modern import (
+            _maybe_census,
+            _sgm_volume,
+        )
+        from stereomatching_tpu.ops.fused_sgm import (
+            sgm_volume_vmajor_pallas,
+        )
+
+        rng = np.random.default_rng(67)
+        b, h, w, d = 2, 13, 256, 32
+        params = ModernParams(num_disparities=d, aggregation="sgm",
+                              cost=cost)
+        l = jnp.asarray(rng.integers(0, 256, (b, h, w)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, (b, h, w)).astype(np.int32))
+        vol = jax.vmap(
+            lambda a, o: _sgm_volume(a, o, params, layout="dhw",
+                                     dtype=dtype)
+        )(l, r)
+        want = jnp.transpose(vol, (2, 1, 0, 3)).reshape(h, d, b * w)
+        tf = jax.vmap(lambda x: _maybe_census(x, params))
+        got = sgm_volume_vmajor_pallas(tf(l), tf(r), d, cost=cost,
+                                       dtype=dtype)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        with pytest.raises(ValueError):
+            sgm_volume_vmajor_pallas(tf(l)[..., :200], tf(r)[..., :200],
+                                     d, cost=cost)
+
+    @pytest.mark.parametrize("dtype", [jnp.int32, jnp.int16, jnp.int8])
+    @pytest.mark.parametrize("reverse,lane_shift",
+                             [(False, 0), (True, 0),
+                              (False, 1), (True, -1), (False, -1)])
+    def test_directional_seed_carry_chain(self, dtype, reverse,
+                                          lane_shift):
+        """A seeded pass continuing from a with_carry pass must equal
+        one long unsharded pass bit for bit — the contract that lets
+        the sharded tier's phased ppermute chain run the VMEM kernel
+        per shard (axis and diagonal walks, every storage)."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(73)
+        s, d, p = 12, 32, 256
+        period = 128 if lane_shift else 0
+        vol = jnp.asarray(rng.integers(0, 25, (s, d, p)).astype(np.int32)
+                          ).astype(dtype)
+        kw = dict(lane_shift=lane_shift, lane_period=period, strip=4)
+        want = sgm_directional_pallas(vol, 8, 96, reverse=reverse, **kw)
+        first, second = (vol[6:], vol[:6]) if reverse else (vol[:6],
+                                                            vol[6:])
+        out1, carry = sgm_directional_pallas(first, 8, 96,
+                                             reverse=reverse,
+                                             with_carry=True, **kw)
+        assert carry.dtype == vol.dtype and carry.shape == (d, p)
+        out2 = sgm_directional_pallas(second, 8, 96, reverse=reverse,
+                                      seed=carry, **kw)
+        got = (jnp.concatenate([out2, out1])
+               if reverse else jnp.concatenate([out1, out2]))
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int32),
+            np.asarray(want).astype(np.int32))
 
     def test_uniqueness_all_excluded_sentinel_matches_xla(self):
         """D <= 3 puts every disparity inside the winner's +-1

@@ -117,3 +117,44 @@ def test_sharded_pallas_matches_oracle(mode):
         np.testing.assert_array_equal(
             np.asarray(got[name]), want[name], err_msg=f"{name} [{mode}]"
         )
+
+
+@pytest.mark.parametrize("mode", [BoundaryMode.WRAP, BoundaryMode.GHOST])
+@pytest.mark.parametrize("data,rows,cols,pallas", [
+    (1, 2, 4, False), (2, 2, 2, False), (1, 1, 8, False),
+    (1, 2, 4, True), (1, 1, 8, True),
+])
+def test_sharded_2d_matches_oracle(mode, data, rows, cols, pallas):
+    """2-D spatial sharding (rows x cols): every x dependency — the
+    shift slide's num_shifts reach and the box window's half — is one
+    column halo exchange (the reference's x ghost zones,
+    src/ghost.h:54-55, src/stereo-ghost.c:11-12), and the result stays
+    bit-identical to the serial oracle in both boundary modes, on both
+    the XLA and per-shard-kernel routes."""
+    params = StereoParams(
+        square_width=9, times=6, lines=4, num_shifts=12, mode=mode,
+        edge_rule="exact",
+    )
+    mesh = make_mesh(data=data, rows=rows, cols=cols)
+    # shard width must cover num_shifts + half = 16
+    lefts, rights = _batch(n_pairs=data, h=max(rows * 12, 16), w=cols * 20)
+    got = jax.device_get(
+        build_sharded_pipeline(params, mesh, use_pallas=pallas)(lefts, rights)
+    )
+    want = _oracle_batch(lefts, rights, params)
+    names = ("edges-1", "edges-2", "score_best", "web-1", "web-2", "output-0")
+    for name in names:
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), want[name],
+            err_msg=f"{name} [{mode} {data}x{rows}x{cols} pallas={pallas}]",
+        )
+
+
+def test_sharded_2d_validation():
+    from stereomatching_tpu.parallel import sharded_classic_forward
+
+    params = StereoParams(square_width=9, num_shifts=12)
+    mesh = make_mesh(data=1, rows=1, cols=8)
+    lefts = np.zeros((1, 16, 64), np.float32)  # 8 cols -> ws=8 < 16
+    with pytest.raises(ValueError, match="x halo reach"):
+        sharded_classic_forward(lefts, lefts, params, mesh)

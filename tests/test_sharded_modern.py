@@ -161,6 +161,34 @@ def test_sharded_modern_sgm_eight_directions_matches_single(rows):
     _assert_equal(sharded, want)
 
 
+@pytest.mark.parametrize("rows,dirs", [(4, 4), (8, 4), (4, 8), (8, 8)])
+def test_sharded_modern_sgm_pallas_vertical_kernel_matches_single(
+    rows, dirs
+):
+    # The seeded per-shard VMEM kernel route for the y-crossing passes
+    # (verticals AND diagonals): every mesh shape must stay
+    # bit-identical to the single-chip kernel — tiling must not change
+    # the per-tile kernel (the reference's ghost rule,
+    # src/stereo-ghost.cu:146-159).
+    params = ModernParams(num_disparities=8, aggregation="sgm",
+                          cost="census", sgm_directions=dirs)
+    sharded, want = _run_both(params, 1, rows, use_pallas=True, seed=23)
+    _assert_equal(sharded, want)
+
+
+def test_sharded_modern_sgm_pallas_int8_eight_dir_matches_single():
+    # int8 storage + diagonals through the seeded kernel chain.
+    from stereomatching_tpu.models.modern import _sgm_storage_dtype
+    import jax.numpy as jnp
+
+    params = ModernParams(num_disparities=32, aggregation="sgm",
+                          cost="census", sgm_directions=8)
+    assert _sgm_storage_dtype(params) == jnp.int8
+    sharded, want = _run_both(params, 1, 4, use_pallas=True, seed=31,
+                              h=32, w=48)
+    _assert_equal(sharded, want)
+
+
 def test_sharded_modern_validation():
     from stereomatching_tpu.parallel import sharded_modern_forward
 
@@ -173,4 +201,60 @@ def test_sharded_modern_validation():
     with pytest.raises(ValueError, match="row shards"):
         sharded_modern_forward(
             lb[:, :44], lb[:, :44], ModernParams(num_disparities=8), mesh
+        )
+
+
+@pytest.mark.parametrize("cost", ["sad", "census"])
+@pytest.mark.parametrize("data,rows,cols", [(1, 2, 4), (2, 2, 2), (1, 1, 4)])
+def test_sharded_modern_2d_matches_single(cost, data, rows, cols):
+    """2-D (rows x cols) modern box tier: the slide's x reach, the box
+    window, LR's right-view lookup, median, and the diffusion fill all
+    ride column halo exchanges; bit-identical to the single-chip
+    pipeline for every mesh shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.models.modern import modern_forward
+    from stereomatching_tpu.parallel import (
+        build_sharded_modern_pipeline,
+        make_mesh,
+    )
+
+    params = ModernParams(num_disparities=8, window=5, cost=cost,
+                          median_filter=True)
+    rng = np.random.default_rng(37)
+    lb = jnp.asarray(rng.integers(0, 256, (data, rows * 12, cols * 24))
+                     .astype(np.int32))
+    rb = jnp.asarray(rng.integers(0, 256, (data, rows * 12, cols * 24))
+                     .astype(np.int32))
+    mesh = make_mesh(data=data, rows=rows, cols=cols,
+                     devices=jax.devices()[: data * rows * cols])
+    got = build_sharded_modern_pipeline(params, mesh)(lb, rb)
+    want = jax.vmap(lambda a, b: modern_forward(a, b, params))(lb, rb)
+    _assert_equal(got, want)
+
+
+def test_sharded_modern_2d_validation():
+    import jax.numpy as jnp
+
+    from stereomatching_tpu.parallel import (
+        make_mesh,
+        sharded_modern_forward,
+    )
+
+    mesh = make_mesh(data=1, rows=1, cols=8)
+    lb = jnp.zeros((1, 16, 64), jnp.int32)
+    with pytest.raises(ValueError, match="x halo reach"):
+        sharded_modern_forward(lb, lb, ModernParams(num_disparities=8),
+                               mesh)
+    with pytest.raises(ValueError, match="rows-only"):
+        sharded_modern_forward(
+            lb, lb, ModernParams(num_disparities=8, aggregation="sgm"),
+            make_mesh(data=1, rows=2, cols=4),
+        )
+    with pytest.raises(ValueError, match="background"):
+        sharded_modern_forward(
+            lb, lb,
+            ModernParams(num_disparities=8, fill_mode="background"),
+            make_mesh(data=1, rows=2, cols=4),
         )

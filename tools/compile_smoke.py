@@ -120,6 +120,16 @@ def main() -> int:
                                          dtype=jnp.int16,
                                          interpret=False)
 
+    def sgm_volume_vmajor(cost, dtype):
+        # The production volume route: v-scan-major build with the
+        # d-indexed (strided sublane) stores.
+        from stereomatching_tpu.ops.fused_sgm import (
+            sgm_volume_vmajor_pallas,
+        )
+        g = gray[None]
+        return lambda: sgm_volume_vmajor_pallas(
+            g, g, D, cost=cost, dtype=dtype, interpret=False)
+
     def sgm_tail(uniq=False):
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
@@ -167,6 +177,9 @@ def main() -> int:
         "sgm-tail-uniq": sgm_tail(uniq=True),
         "sgm-volume-census": sgm_volume("census"),
         "sgm-volume-sad": sgm_volume("sad"),
+        "sgm-volume-vmajor-census-int8": sgm_volume_vmajor("census",
+                                                           jnp.int8),
+        "sgm-volume-vmajor-sad-int16": sgm_volume_vmajor("sad", jnp.int16),
         "fill-invalid": fill_invalid(),
         "modern-sad": modern("sad"),
         "modern-census": modern("census"),

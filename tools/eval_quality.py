@@ -58,6 +58,15 @@ def main() -> int:
                         "blobs, a slanted disparity ramp (sub-pixel and "
                         "diagonal-path probe), or a random-dot "
                         "stereogram")
+    p.add_argument("--noise", type=float, default=0.0, metavar="SIGMA",
+                   help="Gaussian pixel noise sigma added to both views "
+                        "(photometric robustness probe)")
+    p.add_argument("--gain", type=float, default=1.0,
+                   help="exposure gain applied to the RIGHT view only — "
+                        "the radiometric asymmetry census is invariant "
+                        "to and SAD is not")
+    p.add_argument("--bias", type=float, default=0.0,
+                   help="intensity bias added to the RIGHT view only")
     args = p.parse_args()
 
     from stereomatching_tpu.cli import _ensure_platform
@@ -91,6 +100,12 @@ def main() -> int:
                 h=270, w=480, seed=0, max_disparity=args.synthetic
             )
         gt = gt.astype(np.float64)
+        if args.scene in ("blob", "rds"):
+            from stereomatching_tpu.utils.synthetic import occlusion_mask
+
+            occ = occlusion_mask(gt.astype(np.int32))
+        else:
+            occ = None  # resampled ramp: no inverse-warp occlusion model
     else:
         if not (args.left and args.right and args.gt):
             p.error("need left right gt (or --synthetic)")
@@ -99,6 +114,15 @@ def main() -> int:
         left = read_png_gray(args.left)
         right = read_png_gray(args.right)
         gt = read_ground_truth(args.gt, scale=args.gt_scale).astype(np.float64)
+        occ = None
+
+    if args.noise > 0 or args.gain != 1.0 or args.bias != 0.0:
+        from stereomatching_tpu.utils.synthetic import photometric_perturb
+
+        left, right = photometric_perturb(
+            left, right, noise_sigma=args.noise, gain=args.gain,
+            bias=args.bias, seed=1,
+        )
 
     params = ModernParams(
         num_disparities=args.disparities, window=args.window,
@@ -114,7 +138,7 @@ def main() -> int:
         valid &= np.asarray(out["uniqueness"]) >= args.uniqueness_min
     report = disparity_report(np.asarray(out["subpixel"]), gt, valid)
     report_filled = disparity_report(np.asarray(out["filled"]), gt)
-    print(json.dumps({
+    result = {
         "valid_pixels": report,
         "filled_all_pixels": report_filled,
         "params": {"disparities": args.disparities, "window": args.window,
@@ -122,8 +146,22 @@ def main() -> int:
                    "aggregation": args.aggregation,
                    "sgm_directions": args.sgm_directions,
                    "fill_mode": args.fill_mode,
-                   "uniqueness_min": args.uniqueness_min},
-    }, indent=2))
+                   "uniqueness_min": args.uniqueness_min,
+                   "noise": args.noise, "gain": args.gain,
+                   "bias": args.bias},
+    }
+    if occ is not None and occ.any():
+        # Occlusion dimension: score only truly-corresponding pixels,
+        # and report how many truly occluded pixels the LR check (plus
+        # any uniqueness gate) correctly invalidated.
+        result["nonoccluded_valid"] = disparity_report(
+            np.asarray(out["subpixel"]), gt, valid & ~occ
+        )
+        result["occlusion"] = {
+            "fraction": float(occ.mean()),
+            "lr_recall": float((~valid)[occ].mean()),
+        }
+    print(json.dumps(result, indent=2))
     return 0
 
 

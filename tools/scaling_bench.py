@@ -36,6 +36,10 @@ def main() -> int:
     p.add_argument("--max-shards", type=int, default=None)
     p.add_argument("--disparities", type=int, default=64)
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--axis", choices=["rows", "cols"], default="rows",
+                   help="which spatial mesh axis to sweep (cols sweeps "
+                        "the 2-D tier: W grows with the shard count and "
+                        "x halos ride col exchanges)")
     args = p.parse_args()
 
     from stereomatching_tpu.cli import _ensure_platform
@@ -58,8 +62,16 @@ def main() -> int:
     results = []
     shards = 1
     while shards <= max_shards and shards <= n_dev:
-        h = shards * args.rows_per_shard
-        mesh = make_mesh(data=1, rows=shards, devices=jax.devices()[:shards])
+        if args.axis == "cols":
+            h = args.rows_per_shard
+            w = shards * args.width
+            mesh = make_mesh(data=1, rows=1, cols=shards,
+                             devices=jax.devices()[:shards])
+        else:
+            h = shards * args.rows_per_shard
+            w = args.width
+            mesh = make_mesh(data=1, rows=shards,
+                             devices=jax.devices()[:shards])
         fn = build_sharded_pipeline(params, mesh, use_pallas=args.pallas)
 
         def step(l, r, fn=fn):
@@ -69,9 +81,9 @@ def main() -> int:
         step = jax.jit(step)
         batches = [
             (
-                jnp.asarray(rng.integers(0, 256, (args.batch, h, args.width))
+                jnp.asarray(rng.integers(0, 256, (args.batch, h, w))
                             .astype(np.float32) / 256.0),
-                jnp.asarray(rng.integers(0, 256, (args.batch, h, args.width))
+                jnp.asarray(rng.integers(0, 256, (args.batch, h, w))
                             .astype(np.float32) / 256.0),
             )
             for _ in range(args.iters + 1)
@@ -83,9 +95,9 @@ def main() -> int:
         for i in range(1, args.iters + 1):
             acc += int(jax.device_get(step(*batches[i])))
         dt = time.perf_counter() - t0
-        mpix_s = args.batch * args.iters * h * args.width / dt / 1e6
-        results.append({"shards": shards, "height": h, "mpix_per_s": mpix_s,
-                        "checksum": acc})
+        mpix_s = args.batch * args.iters * h * w / dt / 1e6
+        results.append({"shards": shards, "height": h, "width": w,
+                        "mpix_per_s": mpix_s, "checksum": acc})
         shards *= 2
 
     base = results[0]["mpix_per_s"]
@@ -94,6 +106,7 @@ def main() -> int:
     print(json.dumps({
         "device": jax.devices()[0].platform,
         "pallas": args.pallas,
+        "axis": args.axis,
         "rows_per_shard": args.rows_per_shard,
         "results": results,
     }, indent=2))

@@ -36,11 +36,12 @@ def main() -> None:
     from stereomatching_tpu.models.modern import (
         _sgm_forward_batched_pallas,
         _sgm_out_dtype,
+        _sgm_scan_major_volumes,
         _sgm_storage_dtype,
         _sgm_tail_fused,
         _sgm_volume_auto,
     )
-    from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+    from stereomatching_tpu.ops.fused_sgm import aggregate_from_scan_major
 
     params = ModernParams(
         num_disparities=args.disparities, aggregation="sgm", cost=args.cost,
@@ -70,16 +71,16 @@ def main() -> None:
     print(f"storage dtype: {jnp.dtype(sdt).name}")
 
     def vol_fn(l, r):
-        return _sgm_volume_auto(l, r, params, sdt)
+        # The production volume route: v-major VMEM builder (vol_h's
+        # transpose is timed inside the agg stage, as in production).
+        return _sgm_scan_major_volumes(l, r, params, sdt)[0]
 
     def agg_fn(l, r):
-        vol = vol_fn(l, r)
-        return sgm_aggregate_pallas(
-            vol, params.sgm_p1, params.sgm_p2,
-            small_values=sdt == jnp.int16, soft_values=sdt == jnp.bfloat16,
-            tiny_values=sdt == jnp.int8,
+        vol_v, vol_h = _sgm_scan_major_volumes(l, r, params, sdt)
+        return aggregate_from_scan_major(
+            vol_v, vol_h, l.shape[0], params.sgm_p1, params.sgm_p2,
             layout="dhw", directions=params.sgm_directions,
-            out_dtype=_sgm_out_dtype(params),
+            out_dtype=_sgm_out_dtype(params), tail_padded=True,
         ).astype(jnp.float32).sum()
 
     def full_fn(l, r):
@@ -87,9 +88,9 @@ def main() -> None:
         return sum(v.sum().astype(jnp.float32) for v in out.values())
 
     def tail_fn(l, r):
-        # volume + FUSED tail without aggregation: isolates the
+        # d-major volume + FUSED tail without aggregation: isolates the
         # argmin/LR/fill tail (sgm_tail_pallas + lr + fill_invalid_pallas)
-        vol = vol_fn(l, r)
+        vol = _sgm_volume_auto(l, r, params, sdt)
         out = _sgm_tail_fused(vol, params)
         return sum(v.sum().astype(jnp.float32) for v in out.values())
 
