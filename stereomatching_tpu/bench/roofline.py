@@ -183,15 +183,17 @@ def sgm_phase_models(params, h: int, w: int) -> Dict[str, Dict[str, float]]:
     # --- aggregation: ONE scan-major relayout (vol_h from vol_v; the
     # builder emits vol_v directly), per axis a forward pass (read
     # vol, write L) and a folded reverse pass (read vol + read L,
-    # write the axis sum at the STORAGE width — biased int8 under the
-    # tiny_values contract), then the merge (read the per-axis sums,
-    # write the tail-padded dhw volume at the out dtype).
+    # write the int16 axis sum — biased-int8 fold stores measured
+    # slower end-to-end, ops/fused_sgm wide_fold), then the merge
+    # (read the per-axis sums, write the tail-padded dhw volume at
+    # the out dtype).
     dirs = params.sgm_directions
     n_axes = 2 + (2 if dirs == 8 else 0)  # diagonal pairs ride vol_v
+    sz_f = max(sz_v, 2.0)  # fold-store width
     relayout = 2.0 * sz_v * vol_e
     walk_bytes = n_axes * (sz_v * vol_e + sz_v * vol_e  # fwd r+w
-                           + 2.0 * sz_v * vol_e + sz_v * vol_e)  # rev
-    merge = (dirs // 2) * sz_v * vol_e + sz_s * vol_e * wp
+                           + 2.0 * sz_v * vol_e + sz_f * vol_e)  # rev
+    merge = (dirs // 2) * sz_f * vol_e + sz_s * vol_e * wp
     walk_vpu = 14.0 * vol_e * (2 + (2 * 2.0 if dirs == 8 else 0))
     aggregation = dict(
         bytes=relayout + walk_bytes + merge,

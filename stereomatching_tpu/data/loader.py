@@ -99,6 +99,7 @@ class BatchLoader:
         num_threads: int = 4,
         device_put: bool = True,
         prefetch: int = 2,
+        mesh=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -107,6 +108,16 @@ class BatchLoader:
         self.num_threads = num_threads
         self.device_put = device_put
         self.prefetch = prefetch
+        # With a mesh, batches are device_put PRE-SHARDED with the
+        # pipeline's (data, rows[, cols]) layout, so the sharded tiers
+        # consume them without a host round-trip or a resharding copy.
+        self.mesh = mesh
+        if mesh is not None:
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh "
+                    f"data axis ({mesh.shape['data']})"
+                )
 
     def _assemble(self, idxs: Sequence[int]):
         import sys
@@ -140,7 +151,26 @@ class BatchLoader:
         if self.device_put:
             import jax
 
-            lb, rb = jax.device_put(lb), jax.device_put(rb)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from stereomatching_tpu.parallel.mesh import (
+                    COLS_AXIS,
+                    DATA_AXIS,
+                    ROWS_AXIS,
+                )
+
+                cols = (
+                    COLS_AXIS
+                    if COLS_AXIS in self.mesh.axis_names else None
+                )
+                sh = NamedSharding(
+                    self.mesh, PartitionSpec(DATA_AXIS, ROWS_AXIS, cols)
+                )
+                lb = jax.device_put(lb, sh)
+                rb = jax.device_put(rb, sh)
+            else:
+                lb, rb = jax.device_put(lb), jax.device_put(rb)
         return lb, rb, kept
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:

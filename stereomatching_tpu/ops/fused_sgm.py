@@ -330,6 +330,7 @@ def sgm_directional_pallas(
     lane_period: int = 0,
     seed: jnp.ndarray | None = None,
     with_carry: bool = False,
+    wide_fold: bool = True,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -350,11 +351,13 @@ def sgm_directional_pallas(
     int8 input: quarter the DMA traffic; exact whenever
     max_cost + p2 < 127 (census-class costs) AND D equals its 32-row
     sublane round-up (no padded D rows — they would overflow int8
-    through the recurrence).  A folded int8 pass returns the per-axis
-    sum BIASED by _FOLD_BIAS (value - 128: the raw sum reaches
-    2*(max_cost+p2) <= 252, out of int8's range, the biased value
-    spans [-128, 124]) — consumers add the bias back; same byte width
-    as the volume, so donate_volume stays legal on folded passes.
+    through the recurrence).  A folded int8 pass stores the per-axis
+    sum as int16 by default; ``wide_fold=False`` stores it BIASED int8
+    (value - _FOLD_BIAS: the raw sum reaches 2*(max_cost+p2) <= 252,
+    the biased value spans [-128, 124]; consumers add the bias back),
+    which halves the fold traffic and keeps donation legal but
+    measured SLOWER end-to-end (the int8-sourced merge transposes —
+    round-4 A/B, docs/BENCHMARKS.md) — an opt-in probe surface.
 
     bfloat16 input selects the bf16 LATTICE (_step_math_bf16): the same
     16-bit DMA traffic as int16, but the recurrence runs in bf16
@@ -446,11 +449,15 @@ def sgm_directional_pallas(
     n_strips = s // xc
 
     fold = add_to is not None
-    # Folded (per-axis direction-sum) int8 stores are BIASED by
-    # _FOLD_BIAS so the sum fits int8 (see the docstring); every other
-    # combination stores the raw sum in the storage dtype.
-    fold_bias = _FOLD_BIAS if (fold and io8) else 0
-    io_dt = st_dt
+    # Folded (per-axis direction-sum) int8 passes store int16 by
+    # default (wide_fold=True): biased-int8 fold stores (value -
+    # _FOLD_BIAS, wide_fold=False) HALVE the fold write + merge read
+    # traffic and restore donation, but measured 0.45 ms/pair SLOWER
+    # end-to-end at 1 MP x 64 d batch 32 — the int8-sourced merge
+    # transposes cost more than the traffic they save (round-4 A/B,
+    # docs/BENCHMARKS.md).  Kept as an opt-in probe surface.
+    fold_bias = _FOLD_BIAS if (fold and io8 and not wide_fold) else 0
+    io_dt = jnp.int16 if (fold and io8 and wide_fold) else st_dt
     seeded = seed is not None
     kernel = functools.partial(
         _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse,
@@ -1047,8 +1054,9 @@ def sgm_aggregate_pallas(
     num_disparities is a power of two >= 32) selects int8 STORAGE for
     the volume relayouts and directional passes — QUARTER the HBM/DMA
     traffic of this bandwidth-heavy stage; the folded per-axis sums
-    also store int8, biased by _FOLD_BIAS (un-biased in the merge).
-    Overrides small_values and soft_values.
+    store int16 (biased-int8 folds measured slower end-to-end, see
+    sgm_directional_pallas's wide_fold).  Overrides small_values and
+    soft_values.
 
     ``out_dtype`` (default int32) narrows the summed output — exact
     when the caller's direction-sum bound directions*(max_cost + p2)
@@ -1106,6 +1114,7 @@ def aggregate_from_scan_major(
     layout: str = "dhw",
     tail_padded: bool = False,
     directions: int = 4,
+    wide_fold: bool = True,
 ) -> jnp.ndarray:
     """sgm_aggregate_pallas's core on PRE-LAYOUTED scan-major volumes
     (``vol_v`` [H, D, B*W], ``vol_h`` [W, D, B*H]) — callers that can
@@ -1132,7 +1141,7 @@ def aggregate_from_scan_major(
     b = batch
     assert bw == b * w and bh == b * h, (vol_v.shape, vol_h.shape, b)
     acc = jnp.int32 if out_dtype is None else out_dtype
-    io8 = vol_v.dtype == jnp.int8
+    io8 = vol_v.dtype == jnp.int8 and not wide_fold
     bias = jnp.asarray(_FOLD_BIAS, acc)
 
     def unbias(x):
@@ -1142,7 +1151,8 @@ def aggregate_from_scan_major(
         return x + bias if io8 else x
 
     run = functools.partial(
-        sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret
+        sgm_directional_pallas, p1=p1, p2=p2, interpret=interpret,
+        wide_fold=wide_fold,
     )
     # The reverse pass folds the forward output into its stores
     # (exact: the per-axis sum is <= 2x the directional bound, which

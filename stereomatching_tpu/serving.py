@@ -93,17 +93,20 @@ class Matcher:
         squeeze = lb.ndim == 2 and self.tier == "sharded"
         if squeeze:
             lb, rb = lb[None], rb[None]
+        n_real = lb.shape[0] if lb.ndim == 3 else None
         if self.tier == "sharded":
             from stereomatching_tpu.parallel.mesh import DATA_AXIS, ROWS_AXIS
 
             n_data = self.mesh.shape[DATA_AXIS]
             n_rows = self.mesh.shape[ROWS_AXIS]
             if lb.shape[0] % n_data:
-                raise ValueError(
-                    f"batch {lb.shape[0]} must divide by the mesh data "
-                    f"axis ({n_data}); pass a padded batch or a data=1 mesh "
-                    "for single pairs"
-                )
+                # Global-batch padding: repeat the last pair up to the
+                # next data-axis multiple (shape-cached per padded
+                # size); padded results are sliced away below.
+                pad = n_data - lb.shape[0] % n_data
+                reps = [(0, pad)] + [(0, 0)] * (lb.ndim - 1)
+                lb = np.pad(lb, reps, mode="edge")
+                rb = np.pad(rb, reps, mode="edge")
             if lb.shape[1] % n_rows:
                 raise ValueError(
                     f"height {lb.shape[1]} must divide by the mesh rows "
@@ -112,6 +115,8 @@ class Matcher:
         out = jax.device_get(self._fn(lb.shape)(lb, rb))
         if squeeze:
             out = {k: np.asarray(v)[0] for k, v in out.items()}
+        elif n_real is not None and lb.shape[0] != n_real:
+            out = {k: np.asarray(v)[:n_real] for k, v in out.items()}
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -219,16 +224,21 @@ class ModernMatcher:
         squeeze = l.ndim == 2 and self.tier == "sharded"
         if squeeze:
             l, r = l[None], r[None]
+        n_real = l.shape[0] if l.ndim == 3 else None
         if self.tier == "sharded":
             from stereomatching_tpu.parallel.mesh import DATA_AXIS
 
             n_data = self.mesh.shape[DATA_AXIS]
             if l.shape[0] % n_data:
-                raise ValueError(
-                    f"batch {l.shape[0]} must divide by the mesh data "
-                    f"axis ({n_data})"
-                )
+                # Global-batch padding: repeat the last pair up to the
+                # next data-axis multiple; padded rows sliced away.
+                pad = n_data - l.shape[0] % n_data
+                reps = [(0, pad)] + [(0, 0)] * (l.ndim - 1)
+                l = np.pad(l, reps, mode="edge")
+                r = np.pad(r, reps, mode="edge")
         out = jax.device_get(self._fn(l.shape)(l, r))
         if squeeze:
             out = {k: np.asarray(v)[0] for k, v in out.items()}
+        elif n_real is not None and l.shape[0] != n_real:
+            out = {k: np.asarray(v)[:n_real] for k, v in out.items()}
         return {k: np.asarray(v) for k, v in out.items()}

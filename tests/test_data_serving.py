@@ -195,7 +195,7 @@ def test_modern_matcher_sharded_tier():
     np.testing.assert_array_equal(out["filled"], want["filled"])
 
 
-def test_matcher_sharded_batch_validation():
+def test_matcher_sharded_batch_padding_and_validation():
     import jax
 
     if len(jax.devices()) < 8:
@@ -206,10 +206,49 @@ def test_matcher_sharded_batch_validation():
                           edge_rule="exact")
     m = Matcher(params, tier="sharded", mesh=make_mesh(data=2, rows=4))
     left, right = synthetic_pair(h=32, w=32, seed=8)
-    with pytest.raises(ValueError, match="mesh data"):
-        m(left, right)  # batch 1 on a data=2 mesh
+    # Non-divisible global batches are PADDED (repeat the last pair) up
+    # to the data axis and the pad sliced away — a batch of 3 on a
+    # data=2 mesh returns 3 results equal to the single-chip tier's.
+    lb = np.stack([left, right, left])
+    rb = np.stack([right, left, right])
+    out = m(lb, rb)
+    assert out["output-0"].shape == (3, 32, 32)
+    want = Matcher(params, tier="xla")(lb, rb)
+    np.testing.assert_array_equal(out["output-0"], want["output-0"])
+    np.testing.assert_array_equal(out["web-2"], want["web-2"])
+    # A single pair on a data=2 mesh pads too (squeeze path).
+    one = m(left, right)
+    np.testing.assert_array_equal(one["output-0"], want["output-0"][0])
     with pytest.raises(ValueError, match="mesh rows"):
         m(np.stack([left] * 2)[:, :30], np.stack([right] * 2)[:, :30])
+
+
+def test_batch_loader_mesh_sharded_feed(dataset_root):
+    """BatchLoader(mesh=...) yields pre-sharded device batches that the
+    sharded pipeline consumes directly — bit-equal to the single-chip
+    tier."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs CPU mesh")
+    from stereomatching_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, rows=4)
+    params = StereoParams(square_width=5, times=2, num_shifts=4,
+                          edge_rule="exact")
+    sharded = Matcher(params, tier="sharded", mesh=mesh)
+    single = Matcher(params)
+    ds = StereoPairDataset.from_root(dataset_root)
+    total = 0
+    for lb, rb, count in BatchLoader(ds, batch_size=4, mesh=mesh):
+        assert getattr(lb, "sharding", None) is not None
+        got = sharded(np.asarray(lb), np.asarray(rb))
+        want = single(np.asarray(lb), np.asarray(rb))
+        np.testing.assert_array_equal(got["output-0"], want["output-0"])
+        total += count
+    assert total == 6
+    with pytest.raises(ValueError, match="data axis"):
+        BatchLoader(ds, batch_size=3, mesh=mesh)
 
 
 def test_loader_feeds_matcher(dataset_root):

@@ -418,9 +418,9 @@ class TestPallasSGM:
 
     @pytest.mark.parametrize("directions", [4, 8])
     def test_aggregate_tiny_values_bit_identical(self, directions):
-        """tiny_values (int8 storage; biased-int8 folded sums) must
-        match the int32 path bit for bit, including the dhw tail-padded
-        merge and the diagonal passes."""
+        """tiny_values (int8 storage; int16 folded sums) must match the
+        int32 path bit for bit, including the dhw tail-padded merge and
+        the diagonal passes."""
         from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
 
         rng = np.random.default_rng(41)
@@ -438,6 +438,28 @@ class TestPallasSGM:
                                      tiny_values=True)
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
+
+    @pytest.mark.parametrize("directions", [4, 8])
+    def test_aggregate_biased_int8_folds_bit_identical(self, directions):
+        """wide_fold=False (the biased-int8 fold probe surface: stores
+        sum - 128 and un-biases in the merge) must stay bit-identical
+        to the default int16 folds."""
+        from stereomatching_tpu.ops.fused_sgm import (
+            aggregate_from_scan_major,
+        )
+
+        rng = np.random.default_rng(43)
+        b, d, h, w = 2, 32, 24, 150
+        vol = jnp.asarray(
+            rng.integers(0, 25, (b, d, h, w)).astype(np.int8))
+        vv = jnp.transpose(vol, (2, 1, 0, 3)).reshape(h, d, b * w)
+        vh = jnp.transpose(vol, (3, 1, 0, 2)).reshape(w, d, b * h)
+        want = aggregate_from_scan_major(
+            vv, vh, b, 8, 96, directions=directions, layout="dhw")
+        got = aggregate_from_scan_major(
+            vv, vh, b, 8, 96, directions=directions, layout="dhw",
+            wide_fold=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     def test_aggregate_fuzz_shapes_penalties_directions(self):
         """Randomized shapes / penalties / direction counts / storages:
