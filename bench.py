@@ -65,6 +65,14 @@ def main() -> None:
     p.add_argument("--tile-rows", type=int, default=None,
                    help="override the kernel's batch-aware auto row tiling "
                         "(ops/fused._auto_tile_rows)")
+    p.add_argument("--donate", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="donate the input batch buffers to the step "
+                        "(jit donate_argnums) — each timed batch is "
+                        "consumed exactly once, so aliasing is safe; "
+                        "frees 2 input-batch buffers from peak HBM at "
+                        "large batch and is the latency-mode default "
+                        "posture (docs/BENCHMARKS.md latency table)")
     p.add_argument("--roofline", action="store_true",
                    help="additionally print one roofline JSON line per "
                         "phase (bytes/FLOPs/achieved BW/MXU+VPU "
@@ -125,7 +133,7 @@ def main() -> None:
                 + out["edges-1"].sum()
             )
 
-    step = jax.jit(step)
+    step = jax.jit(step, donate_argnums=(0, 1) if args.donate else ())
 
     # Distinct device-resident batches per timed iteration.
     rng = np.random.default_rng(0)

@@ -46,7 +46,20 @@ class Peaks:
     # linearly at ~this rate, and ILP interleaves moved nothing).  The
     # instruction-census bound below uses it; the 4-ALU vpu_teraops
     # peak is the architectural ceiling.
+    #
+    # Round-4 measurement (tools/vpu_probe.py, slope-timed register-
+    # resident kernels): a PURE-COMPUTE dependent min/add/roll chain
+    # shaped like one SGM step retires 1.567 Tera-elementops/s (1.63
+    # vreg-ops/cycle), and plain dependent adds 1.96 (2.04/cycle) —
+    # so 0.963 is NOT the hardware issue ceiling; it is the rate the
+    # real kernels sustain once their per-column VMEM loads/stores
+    # and the background strip DMA take issue slots (the probe's
+    # sgm-mem body measures the memory-coupled rate directly).  The
+    # census bound keeps the demonstrated in-kernel rate; the pure-
+    # compute ceiling below quantifies the scheduling headroom a
+    # Mosaic-level rewrite could still reach.
     vpu_single_issue_teraops: float = 0.963
+    vpu_mix_compute_teraops: float = 1.567
 
 
 def _round_up(x: int, m: int) -> int:
@@ -168,29 +181,30 @@ def sgm_phase_models(params, h: int, w: int) -> Dict[str, Dict[str, float]]:
     wp = (_round_up(w, 128) + _round_up(d, 128)) / w
 
     # --- volume: census transform x2 (image in, codes out) + the
-    # v-major VMEM builder (ops/fused_sgm.sgm_volume_vmajor_pallas):
-    # each code plane is DMA'd once per row strip (~8 B/px total) and
-    # the scan-major volume written once.  Census is ~40
-    # element-ops/px (window compares + shifts + ors); the cost is
-    # xor + SWAR popcount ~16 ops per element, plus ~2/element for the
-    # kernel's strided (d-indexed) store relayout.
+    # d-major VMEM builder (ops/fused_sgm.sgm_volume_pallas): each
+    # code plane is DMA'd once per row strip (~8 B/px total) and the
+    # d-major volume written once with CONTIGUOUS per-disparity
+    # stores (the v-major builder's d-indexed stores are single-
+    # sublane scatters that measured 0.5 ms/pair slower, round 4).
+    # Census is ~40 element-ops/px (window compares + shifts + ors);
+    # the cost is xor + SWAR popcount ~16 ops per element.
     volume = dict(
         bytes=16.0 * hw + 8.0 * hw + sz_v * vol_e,
         mxu=0.0,
-        vpu=2 * 40.0 * hw + 18.0 * vol_e,
+        vpu=2 * 40.0 * hw + 16.0 * vol_e,
     )
 
-    # --- aggregation: ONE scan-major relayout (vol_h from vol_v; the
-    # builder emits vol_v directly), per axis a forward pass (read
-    # vol, write L) and a folded reverse pass (read vol + read L,
-    # write the int16 axis sum — biased-int8 fold stores measured
-    # slower end-to-end, ops/fused_sgm wide_fold), then the merge
-    # (read the per-axis sums, write the tail-padded dhw volume at
-    # the out dtype).
+    # --- aggregation: TWO scan-major relayouts (vol_v and vol_h are
+    # both XLA transposes of the d-major volume), per axis a forward
+    # pass (read vol, write L) and a folded reverse pass (read vol +
+    # read L, write the int16 axis sum — biased-int8 fold stores
+    # measured slower end-to-end, ops/fused_sgm wide_fold), then the
+    # merge (read the per-axis sums, write the tail-padded dhw volume
+    # at the out dtype).
     dirs = params.sgm_directions
     n_axes = 2 + (2 if dirs == 8 else 0)  # diagonal pairs ride vol_v
     sz_f = max(sz_v, 2.0)  # fold-store width
-    relayout = 2.0 * sz_v * vol_e
+    relayout = 4.0 * sz_v * vol_e
     walk_bytes = n_axes * (sz_v * vol_e + sz_v * vol_e  # fwd r+w
                            + 2.0 * sz_v * vol_e + sz_f * vol_e)  # rev
     merge = (dirs // 2) * sz_f * vol_e + sz_s * vol_e * wp
@@ -246,7 +260,7 @@ def measure_sgm(
     )
     from stereomatching_tpu.ops.fused_sgm import (
         aggregate_from_scan_major,
-        sgm_volume_vmajor_pallas,
+        sgm_volume_pallas,
     )
 
     params = ModernParams(
@@ -266,14 +280,14 @@ def measure_sgm(
     ]
     jax.block_until_ready(ins)
 
-    # The volume phase is the production route's v-major VMEM builder
-    # alone (vol_h's transpose is part of the aggregation stage, as in
-    # sgm_phase_models).
+    # The volume phase is the production route's d-major VMEM builder
+    # alone (both scan-major transposes are part of the aggregation
+    # stage, as in sgm_phase_models).
     def vol_v_fn(l, r):
         tf = jax.vmap(
             lambda x: _maybe_census(x.astype(jnp.int32), params)
         )
-        return sgm_volume_vmajor_pallas(
+        return sgm_volume_pallas(
             tf(l), tf(r), d, cost=params.cost, dtype=sdt
         )
 
@@ -353,6 +367,11 @@ def verdict(
     # honest target for "are more op-count cuts worth hunting".
     t_vpu1 = model["vpu"] / (peaks.vpu_single_issue_teraops * 1e12)
     instr = max(t_hbm, t_mxu, t_vpu1)
+    # The same census at the MEASURED pure-compute retire rate
+    # (tools/vpu_probe.py sgm-mix): what a Mosaic-level rewrite that
+    # freed every memory-access issue slot could still reach.
+    t_vpuc = model["vpu"] / (peaks.vpu_mix_compute_teraops * 1e12)
+    ceil = max(t_hbm, t_mxu, t_vpuc)
     return {
         "phase": name,
         "ms_per_pair": round(seconds_per_pair * 1e3, 4),
@@ -368,6 +387,10 @@ def verdict(
         "instr_bound_ms": round(instr * 1e3, 4),
         "x_from_instr": (
             round(seconds_per_pair / instr, 2) if instr > 0 else 0.0
+        ),
+        "compute_ceiling_ms": round(ceil * 1e3, 4),
+        "x_from_compute_ceiling": (
+            round(seconds_per_pair / ceil, 2) if ceil > 0 else 0.0
         ),
     }
 
@@ -553,7 +576,8 @@ def main() -> None:
         return
     cols = ("phase", "ms_per_pair", "hbm_mb", "achieved_gbps", "mxu_util_pct",
             "vpu_util_pct", "speed_of_light_ms", "sol_bound", "x_from_sol",
-            "instr_bound_ms", "x_from_instr")
+            "instr_bound_ms", "x_from_instr", "compute_ceiling_ms",
+            "x_from_compute_ceiling")
     print("  ".join(f"{c:>17}" for c in cols))
     for r in rows:
         print("  ".join(f"{str(r[c]):>17}" for c in cols))

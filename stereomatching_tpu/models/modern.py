@@ -265,26 +265,27 @@ def _sgm_volume_auto(left, right, params: ModernParams, dtype):
 
 
 def _sgm_scan_major_volumes(left, right, params: ModernParams, st):
-    """Both scan-major volumes for the Pallas aggregation, without ever
-    materializing the d-major [B, D, H, W] volume: the fused builder
-    (ops/fused_sgm.sgm_volume_vmajor_pallas) emits vol_v [H, D, B*W] in
-    ONE pass that reads each cost-input plane once, and vol_h
-    [W, D, B*H] is one XLA int transpose of it.  vs the round-3 route
-    (stacked build fused into TWO relayout transposes, each re-reading
-    the code planes per output tile) this halves the volume stage's
-    HBM traffic.  Requires W % 128 == 0 (the builder's lane-ownership
-    contract); values bit-identical to _sgm_volume + relayouts."""
-    from stereomatching_tpu.ops.fused_sgm import sgm_volume_vmajor_pallas
+    """Both scan-major volumes for the Pallas aggregation: the VMEM
+    builder (ops/fused_sgm.sgm_volume_pallas) emits the d-major volume
+    in ONE pass with CONTIGUOUS per-disparity stores (each code plane
+    read once), and both scan-major layouts are XLA int transposes of
+    it.  Measured round 4 (1 MP x 64 d batch 16, checksum-identical):
+    2.12 ms/pair vs 2.65 for the v-major builder + one transpose — the
+    v-major kernel's d-indexed stores are single-sublane scatters that
+    Mosaic relayouts per disparity, costing more than the extra full-
+    volume XLA transpose they avoid (tools/r4_probe.py --exp volroute).
+    Requires W % 128 == 0 (the builder's lane-tile contract); values
+    bit-identical to _sgm_volume + relayouts."""
+    from stereomatching_tpu.ops.fused_sgm import sgm_volume_pallas
 
     b, h, w = left.shape
     d_count = params.num_disparities
     tf = jax.vmap(lambda x: _maybe_census(x.astype(jnp.int32), params))
-    vol_v = sgm_volume_vmajor_pallas(
+    vol = sgm_volume_pallas(
         tf(left), tf(right), d_count, cost=params.cost, dtype=st
-    )
-    vol_h = jnp.transpose(
-        vol_v.reshape(h, d_count, b, w), (3, 1, 2, 0)
-    ).reshape(w, d_count, b * h)
+    )  # [B, D, H, W]
+    vol_v = jnp.transpose(vol, (2, 1, 0, 3)).reshape(h, d_count, b * w)
+    vol_h = jnp.transpose(vol, (3, 1, 0, 2)).reshape(w, d_count, b * h)
     return vol_v, vol_h
 
 

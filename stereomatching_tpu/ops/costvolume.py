@@ -242,27 +242,32 @@ def lr_consistency(
         axis=1,
     )
 
-    def step(valid, d):
+    # Accumulate the looked-up dR(x - dL) with ONE select per step
+    # (each pixel matches exactly one d), then apply the |dR - dL| <=
+    # max_diff test ONCE at the end — 2 vector ops per step instead of
+    # the 5 of testing inside the loop, same bits (out-of-frame pixels
+    # keep the sentinel and fail the final test; dL outside [0, D)
+    # never matches and fails the same way).  Measured 0.37 ->
+    # ~0.2 ms/pair of the SGM tail at 1 MP x 64 d batch 32.
+    def step(g, d):
         if isinstance(d, int):
             dr_shift = dr_ext[:, num_disparities - d : num_disparities - d + w]
         else:
             dr_shift = jax.lax.dynamic_slice(
                 dr_ext, (jnp.zeros((), d.dtype), num_disparities - d), (h, w)
             )
-        ok = (disp_left == d) & (jnp.abs(dr_shift - d) <= max_diff)
-        return valid | ok, None
+        return jnp.where(disp_left == d, dr_shift, g), None
 
+    g0 = jnp.full((h, w), big, jnp.int32)
     if unroll:
-        valid = jnp.zeros((h, w), bool)
+        g = g0
         for d in range(num_disparities):
-            valid, _ = step(valid, d)
-        return valid
-    valid, _ = jax.lax.scan(
-        step,
-        jnp.zeros((h, w), bool),
-        jnp.arange(num_disparities, dtype=jnp.int32),
-    )
-    return valid
+            g, _ = step(g, d)
+    else:
+        g, _ = jax.lax.scan(
+            step, g0, jnp.arange(num_disparities, dtype=jnp.int32)
+        )
+    return jnp.abs(g - disp_left) <= max_diff
 
 
 # Median-of-9 exchange network (19 comparators); each pair sorts two

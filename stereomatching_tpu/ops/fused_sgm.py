@@ -94,6 +94,7 @@ def _kernel(
     lane_period: int = 0,
     seeded: bool = False,
     with_carry: bool = False,
+    folded_tree: bool = False,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
     scratch is read once and written once per strip (not per column).
@@ -147,7 +148,8 @@ def _kernel(
     # bf16 lattice: half the vector footprint per step op of the 16-bit
     # integer storage AND no widen/narrow converts — exact by the
     # caller's 2*(max_cost+p2) <= 256 contract (_step_math_bf16).
-    step_math = _step_math_bf16 if soft else _step_math
+    step_math = _step_math_bf16 if soft else (
+        _step_math_folded if folded_tree else _step_math)
     big = _SOFT_BIG if soft else _BIG
 
     pp = out_ref.shape[-1]
@@ -331,6 +333,7 @@ def sgm_directional_pallas(
     seed: jnp.ndarray | None = None,
     with_carry: bool = False,
     wide_fold: bool = True,
+    folded_tree: bool = False,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -463,7 +466,7 @@ def sgm_directional_pallas(
         _kernel, xc=xc, p1=p1, p2=p2, reverse=reverse,
         fold=fold, fold_bias=fold_bias, chunk_lanes=chunk_lanes,
         lane_shift=lane_shift, lane_period=lane_period,
-        seeded=seeded, with_carry=with_carry,
+        seeded=seeded, with_carry=with_carry, folded_tree=folded_tree,
     )
     if reverse:
         index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
@@ -614,15 +617,61 @@ def _step_math(prev, c, p1, p2, big):
     """One recurrence step (ops/sgm._directional's body) on an int32
     [D, P] carry (int16 storage widens before calling: Mosaic has no
     int16 min/reductions).  The d+-1 neighbours come from full-lattice
-    sublane rotations with an iota mask pinning the wrapped row to the
-    sentinel — bit-identical to the slice+pad form but relayout-free."""
+    sublane rotations; instead of an iota-masked select pinning each
+    wrapped row to the sentinel, a CONSTANT penalty plane (p1
+    everywhere, big at the wrapped row) is added to the rolled carry —
+    the compiler hoists the plane, so each select+add pair becomes one
+    add (wrapped rows become carry + big + p1 >= big, which loses every
+    min exactly as the selected sentinel did; no overflow: carry <= big
+    and 2 * big + p1 fits int32).  Bit-identical to the masked form."""
     d = prev.shape[0]
     m = _min_over_d(prev)
     di = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+    k_up = jnp.where(di == d - 1, big, p1)
+    k_dn = jnp.where(di == 0, big, p1)
+    up = pltpu.roll(prev, d - 1, 0) + k_up
+    dn = pltpu.roll(prev, 1, 0) + k_dn
+    best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn)), m + p2)
+    return c + best - m
+
+
+def _min_over_d_folded(x):
+    """_min_over_d WITHOUT the broadcast-back: returns the sublane-axis
+    min as one (8, P) tile (min replicated in all 8 sublanes) for
+    consumers that can fold their remaining ops over the 8-sublane tile
+    groups (_step_math_folded) — the concatenate broadcast back to
+    [D, P] is D/8 - 1 whole-tile copies per step on a latency-bound
+    chain, pure overhead when the consumer can broadcast in-register."""
+    n = x.shape[0]
+    while n > 8:
+        n //= 2
+        x = jnp.minimum(x[:n], x[n:])
+    for sh in (4, 2, 1):
+        x = jnp.minimum(x, pltpu.roll(x, sh, 0))
+    return x
+
+
+def _step_math_folded(prev, c, p1, p2, big):
+    """_step_math with the tree-min kept at its (8, P) tile width: the
+    final min / subtract / add run on a (D/8, 8, P) view against the
+    (1, 8, P) tile — the reshape is a pure re-indexing of the sublane
+    tiles (no data movement) and the leading-dim broadcast reuses the
+    tile registers, so the D/8 - 1 broadcast copies AND nothing else
+    change: bit-identical to _step_math."""
+    d = prev.shape[0]
+    m8 = _min_over_d_folded(prev)
+    di = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
     up = jnp.where(di == d - 1, big, pltpu.roll(prev, d - 1, 0))
     dn = jnp.where(di == 0, big, pltpu.roll(prev, 1, 0))
-    best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2)
-    return c + best - m
+    w = jnp.minimum(prev, jnp.minimum(up, dn) + p1)
+    if d <= 8:
+        return c + jnp.minimum(w, m8[:d] + p2) - m8[:d]
+    g = d // 8
+    p = prev.shape[1]
+    wf = w.reshape(g, 8, p)
+    cf = c.reshape(g, 8, p)
+    best = jnp.minimum(wf, (m8 + p2)[None])
+    return (cf + (best - m8[None])).reshape(d, p)
 
 
 def _volume_kernel(
@@ -676,14 +725,15 @@ def sgm_volume_pallas(
     stacked build.  Requires W % 128 == 0 (the volume's W axis feeds
     scan-major relayouts and must carry no lane padding).
 
-    MEASURED but NOT the production route (round 3): standalone this
-    is 1.4x the XLA stacked build (1.66 vs 2.37 ms/pair at 1 MP x 64 d
-    batch 32), but END-TO-END the pipeline is ~2% slower — XLA fuses
-    the stacked build into the downstream scan-major relayout
-    transposes (build + relayout in one volume pass each), and an
-    opaque kernel output forfeits that fusion.  Kept as the fair
-    baseline for any future layout rework that removes the relayouts
-    (it would then win outright)."""
+    PRODUCTION volume builder since round 4: with the aggregation
+    consuming pre-layouted scan-major volumes (aggregate_from_scan_
+    major), this builder + two XLA transposes measures 2.12 ms/pair at
+    1 MP x 64 d batch 16 vs 2.65 for the v-major builder + one
+    transpose (the v-major kernel's per-disparity single-sublane
+    scatter stores cost more than the transpose they avoid) and vs
+    2.72 for the round-3 XLA stacked build (which re-reads the code
+    planes once per output tile of each fused transpose) —
+    checksum-identical throughout (tools/r4_probe.py --exp volroute)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     squeeze = ref.ndim == 2
@@ -852,7 +902,15 @@ def _tail_kernel(
     right-view slice cost_L(x+d, d) is a left-rotation of the window by
     d lanes that never wraps into the output lanes; the host's
     edge-replicated lane padding makes rotated-in lanes the clamped
-    last-column value (no per-step masks)."""
+    last-column value (no per-step masks).
+
+    (A round-4 attempt to fold the LR consistency mask in here via a
+    log-shift gather of dR at x - dL was abandoned: conditional
+    power-of-two rolls do NOT compose into a variable gather — after
+    one level, lane j + k's value encodes lane j + k's residual shift,
+    not lane j's (tools/r4_probe-era numpy disproof).  The LR lookup
+    stays in XLA, restructured as a 2-op accumulator scan in
+    ops/costvolume.lr_consistency.)"""
     hc = vol_ref.shape[2]
     win = chunk + _round_up(d_count, 128)  # slide reach, lane-tiled
     shape = (hc, chunk)

@@ -649,6 +649,31 @@ class TestPallasSGM:
             np.asarray(got).astype(np.int32),
             np.asarray(want).astype(np.int32))
 
+    @pytest.mark.parametrize("dtype", [jnp.int32, jnp.int16, jnp.int8])
+    @pytest.mark.parametrize("reverse,lane_shift",
+                             [(False, 0), (True, 0), (False, 1),
+                              (True, -1)])
+    def test_directional_folded_tree_bit_identical(self, dtype, reverse,
+                                                   lane_shift):
+        """The broadcast-folded step math (folded_tree=True) must emit
+        the same bits as production in every storage and direction —
+        it keeps the tree min at its (8, P) tile and broadcasts in a
+        reshaped view instead of concatenating.  Measured a wash on
+        chip (docs/BENCHMARKS.md round 4), kept as a probe surface."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+
+        rng = np.random.default_rng(41)
+        period = 128 if lane_shift else 0
+        vol = jnp.asarray(rng.integers(0, 25, (9, 32, 256)).astype(np.int32)
+                          ).astype(dtype)
+        kw = dict(reverse=reverse, lane_shift=lane_shift,
+                  lane_period=period, strip=3)
+        want = sgm_directional_pallas(vol, 8, 96, **kw)
+        got = sgm_directional_pallas(vol, 8, 96, folded_tree=True, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int32),
+            np.asarray(want).astype(np.int32))
+
     def test_uniqueness_all_excluded_sentinel_matches_xla(self):
         """D <= 3 puts every disparity inside the winner's +-1
         neighborhood for some pixels; the fused tail's c2 sentinel must

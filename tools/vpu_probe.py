@@ -101,6 +101,35 @@ def main() -> int:
         "sgm-mix": (sgm_mix, 1, max(args.unroll // 5, 1) * 5),
     }
 
+    def make_mem_kernel(iters):
+        # sgm-mix with the walk kernel's per-column VMEM traffic: an
+        # int8 load + widen before the mix, a narrow + int16 store
+        # after — measures the IN-KERNEL retire rate (memory-access
+        # issue slots included), the rate the roofline's census bound
+        # should price.  Counted ops stay the 5 mix ops, so the
+        # printed rate absorbs the load/store slots exactly as the
+        # real kernel's step does.
+        reps = max(args.unroll // 5, 1)
+
+        def kernel(x_ref, out_ref, c8, o16):
+            c8[...] = x_ref[...].astype(jnp.int8)
+            v0 = x_ref[...]
+
+            def trip(_, carry):
+                (v,) = carry
+                c = c8[...].astype(jnp.int32)
+                for _i in range(reps):
+                    r = pltpu.roll(v, 1, 0)
+                    v = jnp.minimum(v, r + jnp.int32(8))
+                    v = jnp.minimum(v, jnp.int32(96)) + c
+                o16[...] = v.astype(jnp.int16)
+                return (v,)
+
+            (v,) = jax.lax.fori_loop(0, iters, trip, (v0,))
+            out_ref[...] = v + o16[...].astype(jnp.int32)
+
+        return kernel, reps * 5
+
     rng = np.random.default_rng(0)
     ins = [
         jnp.asarray(rng.integers(0, 64, (rows, lanes)).astype(np.int32))
@@ -116,6 +145,24 @@ def main() -> int:
         )
         jfn = jax.jit(lambda x, fn=fn: fn(x).sum())
         acc = int(jax.device_get(jfn(ins[0])))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(1, args.reps + 1):
+            acc += int(jax.device_get(jfn(ins[i])))
+        return (time.perf_counter() - t0) / args.reps, acc
+
+    def timed_mem(iters):
+        kernel, _ = make_mem_kernel(iters)
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((rows, lanes), jnp.int8),
+                pltpu.VMEM((rows, lanes), jnp.int16),
+            ],
+            interpret=interpret,
+        )
+        jfn = jax.jit(lambda x, fn=fn: fn(x).sum())
+        acc = int(jax.device_get(jfn(ins[0])))
         t0 = time.perf_counter()
         for i in range(1, args.reps + 1):
             acc += int(jax.device_get(jfn(ins[i])))
@@ -139,6 +186,22 @@ def main() -> int:
             "ms_slope": round(dt * 1e3, 3),
             "checksum": a1 + a4,
         }), flush=True)
+
+    _, ops_per_trip = make_mem_kernel(1)
+    t1, a1 = timed_mem(args.iters)
+    t4, a4 = timed_mem(4 * args.iters)
+    dt = max(t4 - t1, 1e-9)
+    total_elem_ops = float(rows * lanes) * 3 * args.iters * ops_per_trip
+    print(json.dumps({
+        "body": "sgm-mem",
+        "elem_ops_per_s": round(total_elem_ops / dt / 1e12, 4),
+        "unit": "Tera-elementops/s (counted mix ops only; load/store "
+                "slots absorbed)",
+        "vreg_ops_per_cycle": round(
+            (total_elem_ops / (8 * 128)) / (dt * args.clock_ghz * 1e9), 3),
+        "ms_slope": round(dt * 1e3, 3),
+        "checksum": a1 + a4,
+    }), flush=True)
     return 0
 
 
