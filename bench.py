@@ -203,6 +203,8 @@ def main() -> None:
                     f"stereo_pairs_per_sec_per_chip_{h}x{w}_"
                     f"{args.disparities}d"
                     + ("_sgm" if args.pipeline == "sgm" else "")
+                    + ("_8dir" if args.pipeline == "sgm"
+                       and args.sgm_directions == 8 else "")
                 ),
                 "value": round(fps, 4),
                 "unit": "pairs/s",

@@ -194,20 +194,28 @@ def sgm_phase_models(params, h: int, w: int) -> Dict[str, Dict[str, float]]:
         vpu=2 * 40.0 * hw + 16.0 * vol_e,
     )
 
-    # --- aggregation: TWO scan-major relayouts (vol_v and vol_h are
-    # both XLA transposes of the d-major volume), per axis a forward
-    # pass (read vol, write L) and a folded reverse pass (read vol +
-    # read L, write the int16 axis sum — biased-int8 fold stores
-    # measured slower end-to-end, ops/fused_sgm wide_fold), then the
-    # merge (read the per-axis sums, write the tail-padded dhw volume
-    # at the out dtype).
+    # --- aggregation.  4 directions: TWO scan-major relayouts (vol_v
+    # and vol_h are both XLA transposes of the d-major volume), per
+    # axis a forward pass (read vol, write L) and a folded reverse
+    # pass (read vol + read L, write the int16 axis sum — biased-int8
+    # fold stores measured slower end-to-end, ops/fused_sgm
+    # wide_fold), then the merge (read the per-axis sums, write the
+    # tail-padded dhw volume at the out dtype).  8 directions: the
+    # v-major builder + ONE relayout (the d-major route's third live
+    # volume OOMs 8-dir at batch 24), and the three v-major sums
+    # (vertical axis + both diagonal pairs) CHAIN through the folded
+    # passes' add_wide operand (one donated int16 buffer): each
+    # chained pass reads the running sum once, and the merge reads
+    # only two sums regardless of direction count.
     dirs = params.sgm_directions
     n_axes = 2 + (2 if dirs == 8 else 0)  # diagonal pairs ride vol_v
     sz_f = max(sz_v, 2.0)  # fold-store width
-    relayout = 4.0 * sz_v * vol_e
+    relayout = (2.0 if dirs == 8 else 4.0) * sz_v * vol_e
     walk_bytes = n_axes * (sz_v * vol_e + sz_v * vol_e  # fwd r+w
                            + 2.0 * sz_v * vol_e + sz_f * vol_e)  # rev
-    merge = (dirs // 2) * sz_f * vol_e + sz_s * vol_e * wp
+    if dirs == 8:
+        walk_bytes += 2.0 * sz_f * vol_e  # chained add_wide reads
+    merge = 2.0 * sz_f * vol_e + sz_s * vol_e * wp
     walk_vpu = 14.0 * vol_e * (2 + (2 * 2.0 if dirs == 8 else 0))
     aggregation = dict(
         bytes=relayout + walk_bytes + merge,

@@ -275,12 +275,29 @@ def _sgm_scan_major_volumes(left, right, params: ModernParams, st):
     Mosaic relayouts per disparity, costing more than the extra full-
     volume XLA transpose they avoid (tools/r4_probe.py --exp volroute).
     Requires W % 128 == 0 (the builder's lane-tile contract); values
-    bit-identical to _sgm_volume + relayouts."""
-    from stereomatching_tpu.ops.fused_sgm import sgm_volume_pallas
+    bit-identical to _sgm_volume + relayouts.
+
+    8-direction runs keep the v-major builder + one transpose instead:
+    its volume stage is ~0.5 ms/pair slower, but the d-major route
+    holds THREE volume-sized buffers live during the transposes (vs
+    two) and the four extra int16 diagonal folds already push 8-dir
+    against the HBM ceiling (batch 24 OOMs on the d-major route)."""
+    from stereomatching_tpu.ops.fused_sgm import (
+        sgm_volume_pallas,
+        sgm_volume_vmajor_pallas,
+    )
 
     b, h, w = left.shape
     d_count = params.num_disparities
     tf = jax.vmap(lambda x: _maybe_census(x.astype(jnp.int32), params))
+    if params.sgm_directions == 8:
+        vol_v = sgm_volume_vmajor_pallas(
+            tf(left), tf(right), d_count, cost=params.cost, dtype=st
+        )
+        vol_h = jnp.transpose(
+            vol_v.reshape(h, d_count, b, w), (3, 1, 2, 0)
+        ).reshape(w, d_count, b * h)
+        return vol_v, vol_h
     vol = sgm_volume_pallas(
         tf(left), tf(right), d_count, cost=params.cost, dtype=st
     )  # [B, D, H, W]

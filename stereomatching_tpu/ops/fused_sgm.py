@@ -95,6 +95,7 @@ def _kernel(
     seeded: bool = False,
     with_carry: bool = False,
     folded_tree: bool = False,
+    wide_add: bool = False,
 ):
     """The strip walk is Python-unrolled with the carry as a VALUE —
     scratch is read once and written once per strip (not per column).
@@ -108,6 +109,15 @@ def _kernel(
     computed pass) is ADDED to each stored column, so the kernel writes
     the per-axis direction sum directly — the XLA add pass (two reads +
     one write of the full volume) disappears.
+
+    ``wide_add``: a THIRD input block in the fold-output dtype (an
+    already-summed direction-pair total, e.g. the vertical axis sum)
+    is also added per stored column — same-scan-major direction sums
+    CHAIN through the passes instead of meeting in the XLA merge, and
+    the caller aliases this operand to the output
+    (donate_wide), so the chain runs in ONE int16 buffer.  Sum bound:
+    the caller asserts directions * (max_cost + p2) fits the fold
+    dtype (models/modern._sgm_out_dtype's rule).
 
     ``chunk_lanes``: process the strip CHUNK-MAJOR — each chunk of
     lanes runs the whole strip's column chain with its carry and every
@@ -133,6 +143,7 @@ def _kernel(
     direct offset slice of the cross-strip carry scratch."""
     rest = list(rest)
     add_ref = rest.pop(0) if fold else None
+    addw_ref = rest.pop(0) if wide_add else None
     seed_ref = rest.pop(0) if seeded else None
     out_ref = rest.pop(0)
     carry_out_ref = rest.pop(0) if with_carry else None
@@ -246,6 +257,9 @@ def _kernel(
                     if narrow:
                         a = a.astype(jnp.int32)
                     s_val = cv + a - fold_bias if fold_bias else cv + a
+                    if wide_add:
+                        s_val = s_val + addw_ref[idx(j), :, sl].astype(
+                            jnp.int32)
                     stored = s_val.astype(io_dt) if narrow else s_val
                 else:
                     stored = cv.astype(io_dt) if narrow else cv
@@ -277,6 +291,8 @@ def _kernel(
                 if narrow:
                     a = a.astype(jnp.int32)
                 s_val = cv + a - fold_bias if fold_bias else cv + a
+                if wide_add:
+                    s_val = s_val + addw_ref[idx(j)].astype(jnp.int32)
                 stored = s_val.astype(io_dt) if narrow else s_val
             else:
                 stored = cv.astype(io_dt) if narrow else cv
@@ -334,6 +350,8 @@ def sgm_directional_pallas(
     with_carry: bool = False,
     wide_fold: bool = True,
     folded_tree: bool = False,
+    add_wide: jnp.ndarray | None = None,
+    donate_wide: bool = False,
 ) -> jnp.ndarray:
     """One directional pass over a scan-major volume [S, D, P] -> L
     [S, D, P] in vol.dtype.  ``reverse`` scans from S-1 down to 0.
@@ -393,6 +411,18 @@ def sgm_directional_pallas(
     slicing one long unsharded pass at the shard boundary
     (tests/test_sgm.py::test_directional_seed_carry_chain).
 
+    ``add_wide`` (folded passes only): a second addend in the FOLD
+    OUTPUT dtype — an already-summed direction total in the same
+    scan-major layout.  Direction sums over the same volume CHAIN
+    through the kernels (vertical axis sum -> first diagonal pair ->
+    second) instead of meeting in the XLA merge: one merge read per
+    chained term disappears, and ``donate_wide`` aliases the chain
+    buffer to the output so the whole v-major accumulation lives in
+    ONE int16 buffer — at 8 directions this is what lifts the batch
+    ceiling (the unchained merge holds three separate int16 sums
+    live).  Caller asserts the chained total fits the fold dtype
+    (directions * (max_cost + p2), models/modern._sgm_out_dtype).
+
     ``donate_volume``: alias the volume operand to the output
     (in-place when the caller's volume is otherwise dead, e.g. the
     reverse pass of each axis — XLA inserts a copy if it is still
@@ -435,6 +465,15 @@ def sgm_directional_pallas(
     # latency-bound scan).
     bytes_per_col = dp * pp * jnp.dtype(st_dt).itemsize
     xc = max(1, min(strip, (32 << 20) // (4 * bytes_per_col)))
+    if add_wide is not None:
+        # The chained pass stages two extra fold-width operands per
+        # strip (add_wide in + the widened out); size the strip so all
+        # double-buffered blocks fit the 80 MB vmem_limit (the plain
+        # formula above assumes two st-width operands and blows the
+        # scoped-vmem stack at wide lane counts).
+        io_ratio = 2 if jnp.dtype(st_dt).itemsize == 1 else 1
+        total_pc = bytes_per_col * (2 + 2 * io_ratio)
+        xc = max(1, min(xc, (72 << 20) // (2 * total_pc)))
     # Prefer a strip count that DIVIDES S: otherwise the jnp.pad below
     # materializes a full copy of the volume just to round S up (seen
     # as 2x2.5 GB HLO temps at 1 MP x 64 d batch 40 — the OOM straw).
@@ -452,6 +491,13 @@ def sgm_directional_pallas(
     n_strips = s // xc
 
     fold = add_to is not None
+    if add_wide is not None:
+        if not fold:
+            raise ValueError("add_wide requires a folded pass (add_to)")
+        if soft:
+            raise ValueError("add_wide is unsupported on the bf16 lattice")
+        if wide_fold is False and io8:
+            raise ValueError("add_wide requires wide_fold folds")
     # Folded (per-axis direction-sum) int8 passes store int16 by
     # default (wide_fold=True): biased-int8 fold stores (value -
     # _FOLD_BIAS, wide_fold=False) HALVE the fold write + merge read
@@ -467,6 +513,7 @@ def sgm_directional_pallas(
         fold=fold, fold_bias=fold_bias, chunk_lanes=chunk_lanes,
         lane_shift=lane_shift, lane_period=lane_period,
         seeded=seeded, with_carry=with_carry, folded_tree=folded_tree,
+        wide_add=add_wide is not None,
     )
     if reverse:
         index_map = lambda i: (n_strips - 1 - i, 0, 0)  # noqa: E731
@@ -484,6 +531,18 @@ def sgm_directional_pallas(
             jnp.pad(add_to, ((0, 0), (0, dp - d), (0, pp - p)))
         )
         in_specs.append(block)
+    if add_wide is not None:
+        if add_wide.shape != vol.shape or add_wide.dtype != io_dt:
+            raise ValueError(
+                f"add_wide must be the volume's shape in the fold "
+                f"dtype {io_dt}, got {add_wide.shape} {add_wide.dtype}"
+            )
+        operands.append(
+            jnp.pad(add_wide, ((0, 0), (0, dp - d), (0, pp - p)))
+        )
+        in_specs.append(
+            pl.BlockSpec((xc, dp, pp), index_map, memory_space=pltpu.VMEM)
+        )
     if seeded:
         if seed.shape != (d, p) or seed.dtype != st_dt:
             raise ValueError(
@@ -520,6 +579,19 @@ def sgm_directional_pallas(
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [out_shape, jax.ShapeDtypeStruct((dp, pp), st_dt)]
+    if donate_wide and add_wide is not None and donate_volume:
+        # One output buffer, one alias: the chained int16 sum is the
+        # bigger/more-reusable buffer — it wins.
+        donate_volume = False
+    aliases = {}
+    if donate_volume:
+        aliases[0] = 0
+    if donate_wide and add_wide is not None:
+        # The chained-sum operand is byte-compatible with the output
+        # (same shape, fold dtype) and each grid step reads exactly
+        # the block it overwrites — same race-free pattern as
+        # donate_volume.  Operand order: vol 0, add_to 1, add_wide 2.
+        aliases[2] = 0
     out = pl.pallas_call(
         kernel,
         grid=(n_strips,),
@@ -529,7 +601,7 @@ def sgm_directional_pallas(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 2**20),
         interpret=interpret,
-        input_output_aliases={0: 0} if donate_volume else {},
+        input_output_aliases=aliases,
     )(*operands)
     if with_carry:
         out, carry = out
@@ -1220,22 +1292,44 @@ def aggregate_from_scan_major(
     # the batch at 28 (docs/BENCHMARKS.md).
     lr = unbias(run(vol_h, reverse=True, add_to=run(vol_h),
                     donate_volume=True))
-    tb = unbias(run(vol_v, reverse=True, add_to=run(vol_v),
-                    donate_volume=directions == 4))
     diags = []
-    if directions == 8:
+    chain = vol_v.dtype != jnp.bfloat16 and not io8
+    if directions == 8 and chain:
         # The four diagonal paths ride the SAME vertical scan-major
         # volume with a per-step carry lane shift.  Predecessors:
         # r=(1,1) -> fwd shift +1; r=(1,-1) -> fwd shift -1;
         # r=(-1,-1) -> rev shift -1; r=(-1,1) -> rev shift +1.
-        # Each opposing pair folds into one output like the axes do;
-        # the LAST pass over vol_v takes the donation.
+        # Each opposing pair folds into one output like the axes do —
+        # and ALL v-major direction sums (vertical axis + both
+        # diagonal pairs) CHAIN through the folded passes' add_wide
+        # operand into ONE donated int16 buffer: two merge reads and
+        # two live volume-sized int16 buffers disappear vs the
+        # unchained form (its three separate sums set the 8-direction
+        # batch ceiling at 16; chained, batch 32 fits).  Chained total
+        # <= 6 * (max_cost + p2), within the caller's out-dtype bound
+        # (directions * (max_cost + p2)).
+        tb_s = run(vol_v, reverse=True, add_to=run(vol_v))
+        dg = functools.partial(run, lane_period=w)
+        v1 = dg(vol_v, lane_shift=-1, reverse=True,
+                add_to=dg(vol_v, lane_shift=1), add_wide=tb_s,
+                donate_wide=True)
+        tb = unbias(dg(vol_v, lane_shift=1, reverse=True,
+                       add_to=dg(vol_v, lane_shift=-1), add_wide=v1,
+                       donate_wide=True, donate_volume=True))
+    elif directions == 8:
+        # Biased-int8 fold stores (wide_fold=False probe surface) and
+        # the bf16 lattice cannot chain (fold io is int8 / bf16);
+        # keep the unchained form.
+        tb = unbias(run(vol_v, reverse=True, add_to=run(vol_v)))
         dg = functools.partial(run, lane_period=w)
         diags.append(unbias(dg(vol_v, lane_shift=-1, reverse=True,
                                add_to=dg(vol_v, lane_shift=1))))
         diags.append(unbias(dg(vol_v, lane_shift=1, reverse=True,
                                add_to=dg(vol_v, lane_shift=-1),
                                donate_volume=True)))
+    else:
+        tb = unbias(run(vol_v, reverse=True, add_to=run(vol_v),
+                        donate_volume=True))
     if layout == "dhw":
         unfold_v = lambda x: jnp.transpose(  # noqa: E731
             x.reshape(h, d, b, w), (2, 1, 0, 3)

@@ -285,3 +285,13 @@ def test_lr_consistency_unroll_bit_identical():
     want = lr_consistency(dl, dr, max_diff=1, num_disparities=16)
     got = lr_consistency(dl, dr, max_diff=1, num_disparities=16, unroll=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_scales_rejected_on_sgm_route():
+    """scales=2 is a box-aggregation feature; the SGM route must
+    REJECT it rather than silently ignore the pyramid (config guard,
+    round 4)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="box-aggregation"):
+        ModernParams(num_disparities=8, scales=2, aggregation="sgm")

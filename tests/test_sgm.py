@@ -396,6 +396,47 @@ class TestPallasSGM:
             np.asarray(got["subpixel"]), np.asarray(want["subpixel"]),
             rtol=0, atol=0)
 
+    @pytest.mark.parametrize("dtype,kw", [
+        (jnp.int32, {}),
+        (jnp.int8, dict(tiny_values=True)),
+        (jnp.int16, dict(small_values=True)),
+    ])
+    def test_eight_direction_chained_folds_match_oracle(self, dtype, kw):
+        """The chained v-major direction sums (vertical axis sum ->
+        diagonal pair 1 -> diagonal pair 2 through add_wide, one
+        donated int16 buffer) must equal the XLA oracle bit for bit —
+        the chain only reassociates integer adds."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+        from stereomatching_tpu.ops.sgm import sgm_aggregate
+
+        rng = np.random.default_rng(51)
+        vol = jnp.asarray(rng.integers(0, 24, (2, 20, 40, 32))
+                          .astype(np.int32))
+        want = jax.vmap(
+            lambda v: sgm_aggregate(v, 8, 96, directions=8))(vol)
+        got = sgm_aggregate_pallas(vol.astype(dtype), 8, 96,
+                                   directions=8, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.int64), np.asarray(want))
+
+    def test_modern_sgm_eight_directions_vmajor_route(self):
+        """Lane-multiple widths at 8 directions select the v-major
+        builder (one fewer volume live — the d-major route's third
+        buffer OOMs 8-dir at batch 24 on chip); bits must match the
+        XLA tier exactly."""
+        from stereomatching_tpu.models.modern import modern_forward
+
+        rng = np.random.default_rng(34)
+        l = jnp.asarray(rng.integers(0, 256, size=(16, 128)).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, 256, size=(16, 128)).astype(np.int32))
+        params = ModernParams(num_disparities=8, aggregation="sgm",
+                              cost="census", sgm_directions=8)
+        want = modern_forward(l, r, params)
+        got = modern_forward(l, r, params, use_pallas=True)
+        for key in ("disparity", "disparity_right", "valid", "cost"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key)
+
     @pytest.mark.parametrize("reverse", [False, True])
     def test_directional_int8_storage_bit_identical(self, reverse):
         """int8 input (census-class bound, D == pow2 >= 32) must match

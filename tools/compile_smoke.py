@@ -115,6 +115,19 @@ def build_variants():
             v, 8, 96, reverse=reverse, interpret=False,
             lane_shift=lane_shift, lane_period=v.shape[-1])
 
+    def sgm_chain_wide():
+        # Chained v-major direction sums: folded pass with the
+        # add_wide int16 operand aliased to the output (8-dir route).
+        from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
+        v = jnp.asarray(
+            rng.integers(0, 25, (16, 32, 640)).astype(np.int8))
+        aw = jnp.asarray(
+            rng.integers(0, 400, (16, 32, 640)).astype(np.int16))
+        return lambda: sgm_directional_pallas(
+            v, 8, 96, reverse=True, interpret=False, add_to=v,
+            add_wide=aw, donate_wide=True, lane_shift=1,
+            lane_period=640)
+
     def sgm_int8(reverse, fold=False):
         # int8 storage: costs <= 24, D = 32 (its own sublane round-up).
         from stereomatching_tpu.ops.fused_sgm import sgm_directional_pallas
@@ -183,6 +196,7 @@ def build_variants():
         "sgm-diag-int16-rev": sgm_diag(jnp.int16, -1, reverse=True),
         "sgm-diag-bf16": sgm_diag(jnp.bfloat16, 1),
         "sgm-int8-fwd": sgm_int8(False),
+        "sgm-chain-wide": sgm_chain_wide(),
         "sgm-int8-fold": sgm_int8(True, fold=True),
         "sgm-tail": sgm_tail(),
         "sgm-tail-uniq": sgm_tail(uniq=True),

@@ -152,6 +152,30 @@ def main() -> None:
         timeit("fwd pass (prod auto)", w(), vins, args.iters, B)
         timeit("fwd pass chunk=256", w(chunk=256), vins, args.iters, B)
 
+    if args.exp in ("diag", "all"):
+        # One diagonal pass (lane_shift=1) at different chunk widths —
+        # the handoff slivers are per chunk per column, so wider
+        # chunks halve the boundary-lane traffic (at more VMEM
+        # staging per chunk).
+        vols = []
+        for l, r in ins[: args.iters + 1]:
+            vols.append(jax.block_until_ready(
+                sgm_volume_vmajor_pallas(tf(l), tf(r), D, cost="census",
+                                         dtype=st)))
+        vins = [(v,) for v in vols]
+
+        def dg(chunk):
+            def f(v):
+                out = sgm_directional_pallas(
+                    v, params.sgm_p1, params.sgm_p2, lane_shift=1,
+                    lane_period=W, chunk_lanes=chunk)
+                return out.astype(jnp.float32).sum()
+            return f
+
+        timeit("diag chunk=512 (prod)", dg(None), vins, args.iters, B)
+        timeit("diag chunk=1024", dg(1024), vins, args.iters, B)
+        timeit("diag chunk=2048", dg(2048), vins, args.iters, B)
+
     if args.exp in ("agg", "all"):
         # Full aggregation from scan-major volumes: production fold vs
         # an XLA 4-term merge of unfused directional outputs.
