@@ -47,19 +47,23 @@ class Peaks:
     # instruction-census bound below uses it; the 4-ALU vpu_teraops
     # peak is the architectural ceiling.
     #
-    # Round-4 measurement (tools/vpu_probe.py, slope-timed register-
-    # resident kernels): a PURE-COMPUTE dependent min/add/roll chain
-    # shaped like one SGM step retires 1.567 Tera-elementops/s (1.63
-    # vreg-ops/cycle), and plain dependent adds 1.96 (2.04/cycle) —
-    # so 0.963 is NOT the hardware issue ceiling; it is the rate the
-    # real kernels sustain once their per-column VMEM loads/stores
-    # and the background strip DMA take issue slots (the probe's
-    # sgm-mem body measures the memory-coupled rate directly).  The
-    # census bound keeps the demonstrated in-kernel rate; the pure-
-    # compute ceiling below quantifies the scheduling headroom a
-    # Mosaic-level rewrite could still reach.
-    vpu_single_issue_teraops: float = 0.963
-    vpu_mix_compute_teraops: float = 1.567
+    # Round-4 measurements (tools/vpu_probe.py, slope-timed register-
+    # resident kernels, 5 reps):
+    #   dep-add   2.72 T elementops/s  (2.82 vreg-ops/cycle)
+    #   sgm-mix   1.63 T               (pure-compute SGM-shaped chain)
+    #   sgm-mem   1.05 T               (same chain + a store->load
+    #                                   dependent VMEM access per trip
+    #                                   — the walk kernel's per-column
+    #                                   c load + L store shape)
+    # The sgm-mem body REPRODUCES the rate the real kernels sustain
+    # (the round-3 ablation inferred 0.963 from op-count cuts): memory
+    # -access issue slots cost ~36% of the pure-compute rate, and the
+    # production walk runs within ~10% of the memory-coupled ceiling.
+    # The census bound below prices ops at the MEASURED sgm-mem rate;
+    # the pure-compute ceiling quantifies what a Mosaic-level rewrite
+    # that freed every load/store slot could still reach.
+    vpu_single_issue_teraops: float = 1.05
+    vpu_mix_compute_teraops: float = 1.63
 
 
 def _round_up(x: int, m: int) -> int:

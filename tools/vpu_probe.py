@@ -113,15 +113,23 @@ def main() -> int:
 
         def kernel(x_ref, out_ref, c8, o16):
             c8[...] = x_ref[...].astype(jnp.int8)
+            o16[...] = x_ref[...].astype(jnp.int16)
             v0 = x_ref[...]
 
             def trip(_, carry):
+                # The int8 load feeds the mix and the result is
+                # narrowed back to the int16 scratch THAT THE NEXT
+                # TRIP READS — a store->load dependency per trip, so
+                # neither access hoists/sinks out of the loop (the
+                # walk kernel's per-column c load + L store shape).
                 (v,) = carry
                 c = c8[...].astype(jnp.int32)
+                prev = o16[...].astype(jnp.int32)
                 for _i in range(reps):
                     r = pltpu.roll(v, 1, 0)
                     v = jnp.minimum(v, r + jnp.int32(8))
                     v = jnp.minimum(v, jnp.int32(96)) + c
+                v = v + (prev & 1)
                 o16[...] = v.astype(jnp.int16)
                 return (v,)
 
