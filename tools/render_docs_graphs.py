@@ -35,6 +35,7 @@ SGM = [
     ("chunk-major\n+ fold (b16)", 9.42),
     ("batch 28\n(round-2 final)", 8.66),
     ("int8 storage\nbatch 32", 7.41),
+    ("d-major build\n(round-4 final)", 7.37),
 ]
 
 # Size sweep (tools/size_sweep_tpu.py) vs the reference CUDA-ghost
