@@ -152,6 +152,61 @@ def main() -> None:
         timeit("fwd pass (prod auto)", w(), vins, args.iters, B)
         timeit("fwd pass chunk=256", w(chunk=256), vins, args.iters, B)
 
+    if args.exp in ("vol2", "all"):
+        # d-major builder row_strip sweep + the transpose pair alone.
+        def bld(strip):
+            def f(l, r):
+                v = sgm_volume_pallas(tf(l), tf(r), D, cost="census",
+                                      dtype=st, row_strip=strip)
+                return v.astype(jnp.float32).sum()
+            return f
+
+        timeit("dmajor strip=64 (prod)", bld(64), ins, args.iters, B)
+        timeit("dmajor strip=32", bld(32), ins, args.iters, B)
+        timeit("dmajor strip=128", bld(128), ins, args.iters, B)
+        timeit("dmajor strip=256", bld(256), ins, args.iters, B)
+
+        vols = []
+        for l, r in ins:
+            vols.append(jax.block_until_ready(
+                sgm_volume_pallas(tf(l), tf(r), D, cost="census",
+                                  dtype=st)))
+        vins = [(v,) for v in vols]
+
+        def transposes(v):
+            vv = jnp.transpose(v, (2, 1, 0, 3)).reshape(H, D, B * W)
+            vh = jnp.transpose(v, (3, 1, 0, 2)).reshape(W, D, B * H)
+            return (vv.astype(jnp.float32).sum()
+                    + vh.astype(jnp.float32).sum())
+
+        timeit("2 transposes alone", transposes, vins, args.iters, B)
+
+    if args.exp in ("bt", "all"):
+        # int8 transpose vs int32-bitcast transpose (W stays minor in
+        # vol_v, so grouping 4 consecutive W-bytes into one int32 word
+        # before the transpose is byte-exact).
+        vols = []
+        for l, r in ins:
+            vols.append(jax.block_until_ready(
+                sgm_volume_pallas(tf(l), tf(r), D, cost="census",
+                                  dtype=st)))
+        vins = [(v,) for v in vols]
+
+        def t_plain(v):
+            vv = jnp.transpose(v, (2, 1, 0, 3)).reshape(H, D, B * W)
+            return vv.astype(jnp.float32).sum()
+
+        def t_bitcast(v):
+            w4 = v.reshape(B, D, H, W // 4, 4)
+            p = jax.lax.bitcast_convert_type(w4, jnp.int32)
+            pt = jnp.transpose(p, (2, 1, 0, 3))
+            vv = jax.lax.bitcast_convert_type(pt, jnp.int8).reshape(
+                H, D, B * W)
+            return vv.astype(jnp.float32).sum()
+
+        timeit("vol_v T int8 plain", t_plain, vins, args.iters, B)
+        timeit("vol_v T int32 bitcast", t_bitcast, vins, args.iters, B)
+
     if args.exp in ("diag", "all"):
         # One diagonal pass (lane_shift=1) at different chunk widths —
         # the handoff slivers are per chunk per column, so wider
