@@ -79,7 +79,8 @@ def main() -> int:
     # --- sharded modern serving --------------------------------------
     n = min(args.devices, len(jax.devices()))
     data = 2 if n % 2 == 0 else 1
-    mesh = make_mesh(data=data, rows=n // data)
+    mesh = make_mesh(data=data, rows=n // data,
+                     devices=jax.devices()[:n])
     sm = ModernMatcher(
         ModernParams(num_disparities=16, aggregation="sgm",
                      cost="census"),
