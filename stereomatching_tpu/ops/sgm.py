@@ -214,8 +214,11 @@ def right_disparity_from_left_volume(
     def step(carry, d):
         best, best_d = carry
         # d is a Python int when unrolled (static slices) or a traced
-        # int32 in the scan; dynamic_slice accepts either alongside 0.
-        c = slice_at(d, 0)
+        # int32 in the scan; the zero index must match d's dtype —
+        # a literal 0 weak-types to int64 under JAX_ENABLE_X64 and
+        # dynamic_slice rejects the mix.
+        zero = 0 if isinstance(d, int) else jnp.zeros((), d.dtype)
+        c = slice_at(d, zero)
         is_new = c < best
         return (jnp.where(is_new, c, best), jnp.where(is_new, d, best_d)), None
 
