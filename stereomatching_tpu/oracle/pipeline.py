@@ -311,6 +311,26 @@ def run_pipeline(
 
     edges_l = find_edges(left, params.threshold, mode, dtype, params.edge_rule)
     edges_r = find_edges(right, params.threshold, mode, dtype, params.edge_rule)
+    return run_pipeline_from_edges(edges_l, edges_r, params, collect=collect)
+
+
+def run_pipeline_from_edges(
+    edges_l: np.ndarray,
+    edges_r: np.ndarray,
+    params: Optional[StereoParams] = None,
+    collect: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Everything downstream of edge extraction, seeded with given edge maps.
+
+    Every phase after ``find_all_edges`` is exact integer arithmetic
+    (src/stereo.c:90-274), so conditional on the edge maps the pipeline has
+    ONE correct output.  The cross-repo parity gate (tools/knife_edge.py)
+    uses this to prove an accelerated tier bit-equivalent to the C
+    reference modulo provably-tied edge pixels: it seeds this oracle with
+    the tier's own edges and byte-diffs all downstream artifacts.
+    """
+    params = params or StereoParams()
+    mode = params.mode
     matches = fill_matches(edges_l, edges_r, params.num_shifts, mode)
     sums = np.stack(
         [box_sum(matches[i], params.square_width, mode) for i in range(params.num_shifts)]

@@ -6,9 +6,12 @@
 #
 # Usage: tools/diff_vs_reference.sh [a.png b.png] [tier]
 #   default pair: the reference's smallest fixture; default tier: oracle
-#   (bit-exact to C doubles).  Use tier=jax/sharded/pallas with
-#   EDGE_RULE=exact for cross-backend bit-determinism (knife-edge edge
-#   ties may differ from the C float order on accelerators; see README).
+#   (bit-exact to C doubles).  tier=jax is also byte-exact (C float order
+#   in f64).  tier=pallas/sharded run the bit-deterministic `exact` edge
+#   rule, gated by tools/knife_edge.py: every differing edge pixel must be
+#   a PROVEN rational tie of the C predicate (margin <= 2^-20, count
+#   bounded), and every downstream artifact must byte-match the
+#   C-semantics oracle seeded with the tier's own edges.
 set -euo pipefail
 
 REF=${REF:-/root/reference}
@@ -16,9 +19,15 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 A=${1:-$REF/test/imgs/1-240x135/a.png}
 B=${2:-$REF/test/imgs/1-240x135/b.png}
 TIER=${3:-oracle}
-EDGE_RULE=${EDGE_RULE:-reference}
 BUILD=${BUILD:-/tmp/stereo_ref_build}
 WORK=$(mktemp -d)
+
+# The accelerated tiers default to the bit-deterministic edge rule; the
+# byte-exact tiers default to the C float order.
+case "$TIER" in
+    pallas|sharded) EDGE_RULE=${EDGE_RULE:-exact} ;;
+    *)              EDGE_RULE=${EDGE_RULE:-reference} ;;
+esac
 
 mkdir -p "$BUILD"
 for v in "stereo.c:ref-ser:ser" "stereo-ghost.c:ref-sergh:sergh"; do
@@ -34,13 +43,23 @@ cd "$WORK"
 
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 # The pallas/sharded tiers fuse the per-shift planes away (no --collect);
-# they are diffed on the 6 final artifacts the reference also dumps.
+# they are gated on the 6 final artifacts the reference also dumps.
 COLLECT=--collect
 case "$TIER" in pallas|sharded) COLLECT= ;; esac
 python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode wrap \
     --edge-rule "$EDGE_RULE" $COLLECT --outdir our_ser >/dev/null
 python -m stereomatching_tpu.cli "$A" "$B" --tier "$TIER" --mode ghost \
     --edge-rule "$EDGE_RULE" $COLLECT --outdir our_sergh >/dev/null
+
+if [ -z "$COLLECT" ] && [ "$EDGE_RULE" = exact ]; then
+    # Quantified knife-edge gate (see header).
+    python "$REPO/tools/knife_edge.py" ser our_ser "$A" "$B" --mode wrap
+    python "$REPO/tools/knife_edge.py" sergh our_sergh "$A" "$B" --mode ghost
+    echo "OK: tier=$TIER gated vs the C reference (knife-edge ties proven," \
+         "downstream byte-identical conditional on edges)"
+    rm -rf "$WORK"
+    exit 0
+fi
 
 fail=0
 n=0
