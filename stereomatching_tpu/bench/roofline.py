@@ -64,6 +64,14 @@ class Peaks:
     # that freed every load/store slot could still reach.
     vpu_single_issue_teraops: float = 1.05
     vpu_mix_compute_teraops: float = 1.63
+    # ICI (inter-chip interconnect): v5e public one-way per-link
+    # bandwidth ~4.5e10 B/s (the scaling-book number); a 1-D ring of
+    # row shards uses one link per neighbor direction, both directions
+    # concurrently.  Latency per ppermute hop is the softest number
+    # here (~order 1 us on ICI); it dominates the diffusion loop's
+    # tiny 1-row exchanges, so it is modeled explicitly.
+    ici_gbps: float = 45.0
+    ici_latency_us: float = 1.5
 
 
 def _round_up(x: int, m: int) -> int:
@@ -265,6 +273,7 @@ def measure_sgm(
     from stereomatching_tpu.config import ModernParams
     from stereomatching_tpu.models.modern import (
         _maybe_census,
+        _sgm_cost_bound,
         _sgm_forward_batched_pallas,
         _sgm_out_dtype,
         _sgm_scan_major_volumes,
@@ -273,6 +282,7 @@ def measure_sgm(
     from stereomatching_tpu.ops.fused_sgm import (
         aggregate_from_scan_major,
         sgm_volume_pallas,
+        sgm_volume_vmajor_pallas,
     )
 
     params = ModernParams(
@@ -292,13 +302,19 @@ def measure_sgm(
     ]
     jax.block_until_ready(ins)
 
-    # The volume phase is the production route's d-major VMEM builder
-    # alone (both scan-major transposes are part of the aggregation
-    # stage, as in sgm_phase_models).
+    # The volume phase is the production route's builder alone (the
+    # scan-major transposes are part of the aggregation stage, as in
+    # sgm_phase_models): d-major VMEM builder at 4 directions, v-major
+    # builder at 8 (models/modern._sgm_scan_major_volumes picks the
+    # v-major route there for its lower peak-HBM footprint).
     def vol_v_fn(l, r):
         tf = jax.vmap(
             lambda x: _maybe_census(x.astype(jnp.int32), params)
         )
+        if directions == 8:
+            return sgm_volume_vmajor_pallas(
+                tf(l), tf(r), d, cost=params.cost, dtype=sdt
+            )
         return sgm_volume_pallas(
             tf(l), tf(r), d, cost=params.cost, dtype=sdt
         )
@@ -316,6 +332,7 @@ def measure_sgm(
             vol_v, vol_h, l.shape[0], params.sgm_p1, params.sgm_p2,
             out_dtype=_sgm_out_dtype(params), layout="dhw",
             tail_padded=True, directions=directions,
+            cost_bound=_sgm_cost_bound(params),
         )
 
     t = _time_checksum(
@@ -551,6 +568,106 @@ def measure(
     return rows
 
 
+def ici_phase_model(
+    params: StereoParams,
+    rows_per_shard: int,
+    w: int,
+    batch: int = 1,
+    peaks: Peaks = Peaks(),
+) -> Dict[str, Dict[str, float]]:
+    """Per-SHARD halo-exchange traffic and predicted ICI time for the
+    row-sharded classic pipeline (parallel/pipeline.py's exchange
+    table).  Halo width == dependency reach (the reference's rule,
+    src/stereo-ghost.c:11-12); each shard exchanges with its two ring
+    neighbors on separate links, both directions concurrent, so the
+    per-shard cost is INDEPENDENT of the shard count — the analytic
+    reason weak scaling is flat for N >= 2 (BASELINE.md's >= 90%
+    target), with the only step at N=1 -> 2 (no exchange at N=1).
+
+    bytes: payload per neighbor direction (the concurrent-link max).
+    exchanges: sequential ppermute rounds in the phase.
+    us: predicted time = exchanges * (latency + bytes / ici_bw).
+    """
+    f32 = 4
+    i32 = 4
+    reach_box = params.square_width // 2
+    phases = {
+        # 1 halo row of x-extended brightness, once (f32).
+        "edges_halo": {
+            "bytes": float(1 * (w + 2) * f32 * batch),
+            "exchanges": 1.0,
+        },
+        # sw//2 halo rows of BOTH binary edge maps, once (int32 maps).
+        "boxfilter_halo": {
+            "bytes": float(reach_box * w * i32 * batch * 2),
+            "exchanges": 1.0,
+        },
+        # One 1-row web exchange per Jacobi step, times-1 steps,
+        # SEQUENTIAL (each step needs the previous step's neighbors) —
+        # tiny payloads, so the latency term dominates.
+        "diffusion_halo": {
+            "bytes": float(1 * w * i32 * batch),
+            "exchanges": float(max(params.times - 1, 0)),
+        },
+        # Global min/max: 2 scalar all-reduces, latency-only (modeled
+        # as one ring round each).
+        "contour_reduce": {"bytes": float(8 * batch), "exchanges": 2.0},
+    }
+    bw = peaks.ici_gbps * 1e9
+    for m in phases.values():
+        m["us"] = m["exchanges"] * (
+            peaks.ici_latency_us + m["bytes"] / bw * 1e6
+        )
+    return phases
+
+
+def weak_scaling_prediction(
+    params: StereoParams,
+    rows_per_shard: int,
+    w: int,
+    batch: int = 1,
+    shard_counts: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256),
+    peaks: Peaks = Peaks(),
+) -> List[Dict[str, float]]:
+    """Pre-registered weak-scaling efficiency curve: per-shard compute
+    is constant (rows_per_shard fixed, H = N * rows_per_shard), the
+    halo cost per shard is O(1) in N, so
+
+        eff(N) = t_compute / (t_compute + t_ici)   for N >= 2,  eff(1) = 1
+
+    with t_compute the single-shard speed-of-light time of the per-
+    shard slab (classic_phase_models) — the HARDEST efficiency bar:
+    real compute is slower than speed-of-light, which only dilutes the
+    ICI share.  Recorded in docs/BENCHMARKS.md next to the CPU-mesh
+    harness measurements (tools/scaling_bench.py) so a future pod run
+    has a falsifiable target."""
+    comp = classic_phase_models(params, rows_per_shard, w)
+    bw = peaks.hbm_gbps * 1e9
+    t_comp_us = sum(
+        max(
+            m["bytes"] / bw,
+            m.get("mxu", 0.0) / (peaks.mxu_int8_tops * 1e12),
+            m.get("vpu", 0.0) / (peaks.vpu_teraops * 1e12),
+        )
+        for m in comp.values()
+    ) * 1e6 * batch
+    ici = ici_phase_model(params, rows_per_shard, w, batch, peaks)
+    t_ici_us = sum(m["us"] for m in ici.values())
+    out = []
+    for n in shard_counts:
+        eff = 1.0 if n == 1 else t_comp_us / (t_comp_us + t_ici_us)
+        out.append(
+            {
+                "shards": n,
+                "height": n * rows_per_shard,
+                "t_compute_us_sol": round(t_comp_us, 2),
+                "t_ici_us": round(t_ici_us, 2),
+                "predicted_efficiency": round(eff, 4),
+            }
+        )
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -563,7 +680,24 @@ def main() -> None:
     p.add_argument("--pipeline", choices=["classic", "sgm"], default="classic")
     p.add_argument("--directions", type=int, default=4, choices=[4, 8])
     p.add_argument("--json", action="store_true", help="one JSON line per phase")
+    p.add_argument("--ici", action="store_true",
+                   help="print the analytic halo-exchange model and the "
+                        "pre-registered weak-scaling efficiency curve "
+                        "(no device needed) instead of measuring")
+    p.add_argument("--rows-per-shard", type=int, default=256)
     args = p.parse_args()
+
+    if args.ici:
+        params = StereoParams(num_shifts=args.disparities, edge_rule="exact")
+        ici = ici_phase_model(params, args.rows_per_shard, args.size,
+                              batch=args.batch or 1)
+        for name, m in ici.items():
+            print(json.dumps({"phase": name, **{k: round(v, 3) for k, v in m.items()}}))
+        for row in weak_scaling_prediction(
+            params, args.rows_per_shard, args.size, batch=args.batch or 1
+        ):
+            print(json.dumps(row))
+        return
 
     import os
 

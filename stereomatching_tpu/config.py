@@ -178,8 +178,10 @@ class ModernParams:
             # both is unimplemented — reject rather than silently
             # ignore scales (the SGM volume is per-pixel costs only).
             raise ValueError(
-                "scales=2 is a box-aggregation feature; the SGM route "
-                "does not fuse a cost pyramid"
+                f"scales={self.scales} is a box-aggregation feature; "
+                "the SGM route does not fuse a cost pyramid "
+                "(docs/API.md: breaking change in round 4 — previously "
+                "silently ignored)"
             )
         if self.fill_mode not in ("diffusion", "background"):
             raise ValueError("fill_mode must be 'diffusion' or 'background'")

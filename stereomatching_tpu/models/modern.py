@@ -521,6 +521,7 @@ def _sgm_forward_batched_pallas(
             vol_v, vol_h, b, params.sgm_p1, params.sgm_p2,
             out_dtype=_sgm_out_dtype(params), layout="dhw",
             tail_padded=True, directions=params.sgm_directions,
+            cost_bound=_sgm_cost_bound(params),
         )
     else:
         vol = _sgm_volume_auto(left, right, params, st)
@@ -530,6 +531,7 @@ def _sgm_forward_batched_pallas(
             layout="dhw",
             out_dtype=_sgm_out_dtype(params), tail_padded=True,
             directions=params.sgm_directions,
+            cost_bound=_sgm_cost_bound(params),
         )
     return _sgm_tail_fused(agg, params, real_width=w)
 

@@ -911,22 +911,29 @@ def sgm_volume_vmajor_pallas(
     b, h, w = ref.shape
     if w % 128:
         raise ValueError(f"W {w} must be a lane-tile multiple")
-    hc = min(row_strip, h)
-    while h % hc:
-        hc -= 1
+    # The input blocks' sublane dim is hc, so Mosaic needs hc % 8 == 0
+    # (a divisor-of-H chooser picked 60 at H=1080 and failed to lower);
+    # keep hc an 8-multiple and round H up to it — padded rows compute
+    # junk from zero inputs and are sliced off below, exactly as the
+    # d-major builder does.
+    hc = min(max(8, row_strip // 8 * 8), _round_up(h, 8))
+    hp = _round_up(h, hc)
     wr = _round_up(w + d_count, 128)
+    l_pad = jnp.pad(ref, ((0, 0), (0, hp - h), (0, 0)))
     # Left-extend by exactly D columns of column 0 (the _extend_left
     # clamp), right-pad to the lane tile (never read).
     r_ext = jnp.concatenate(
         [jnp.repeat(other[:, :, :1], d_count, axis=2), other], axis=2
     )
-    r_pad = jnp.pad(r_ext, ((0, 0), (0, 0), (0, wr - w - d_count)))
+    r_pad = jnp.pad(
+        r_ext, ((0, 0), (0, hp - h), (0, wr - w - d_count))
+    )
     kernel = functools.partial(
         _vmajor_volume_kernel, d_count=d_count, cost=cost
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // hc),
+        grid=(b, hp // hc),
         in_specs=[
             pl.BlockSpec((1, hc, w), lambda bi, si: (bi, si, 0),
                          memory_space=pltpu.VMEM),
@@ -939,11 +946,11 @@ def sgm_volume_vmajor_pallas(
             (hc, d_count, w), lambda bi, si: (si, 0, bi),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((h, d_count, b * w), dtype),
+        out_shape=jax.ShapeDtypeStruct((hp, d_count, b * w), dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
-    )(ref, r_pad)
-    return out
+    )(l_pad, r_pad)
+    return out[:h]
 
 
 _ARGBIG = 2**30  # matches ops/costvolume._BIG (argmin sentinels)
@@ -1149,6 +1156,7 @@ def sgm_aggregate_pallas(
     out_dtype=None,
     tail_padded: bool = False,
     directions: int = 4,
+    cost_bound: int | None = None,
 ) -> jnp.ndarray:
     """SGM aggregation of an int32 cost volume [H, W, D] (or a batch
     [B, H, W, D]) -> int32, same shape; bit-identical to
@@ -1227,7 +1235,7 @@ def sgm_aggregate_pallas(
         vol_v, vol_h, b, p1=p1, p2=p2, interpret=interpret,
         small_values=small_values,
         out_dtype=out_dtype, layout=layout, tail_padded=tail_padded,
-        directions=directions,
+        directions=directions, cost_bound=cost_bound,
     )
     return out[0] if squeeze else out
 
@@ -1245,6 +1253,7 @@ def aggregate_from_scan_major(
     tail_padded: bool = False,
     directions: int = 4,
     wide_fold: bool = True,
+    cost_bound: int | None = None,
 ) -> jnp.ndarray:
     """sgm_aggregate_pallas's core on PRE-LAYOUTED scan-major volumes
     (``vol_v`` [H, D, B*W], ``vol_h`` [W, D, B*H]) — callers that can
@@ -1263,7 +1272,14 @@ def aggregate_from_scan_major(
     pass overwrites its then-dead volume in place (donate_volume), so
     callers must not keep ``vol_v``/``vol_h`` live after this call —
     XLA would silently reinstate the volume-sized defensive copy the
-    donation exists to remove."""
+    donation exists to remove.
+
+    ``cost_bound``: upper bound on the cost volume's per-element value
+    (models/modern._sgm_cost_bound).  At 8 directions with int16
+    storage it gates the chained accumulation, whose total reaches
+    6 * (cost_bound + p2) in the int16 fold buffer — without it the
+    chain is conservatively disabled for int16 volumes (bit-identical
+    unchained merge, higher peak memory)."""
     if tail_padded and layout != "dhw":
         raise ValueError("tail_padded requires layout='dhw'")
     h, d, bw = vol_v.shape
@@ -1294,6 +1310,24 @@ def aggregate_from_scan_major(
                     donate_volume=True))
     diags = []
     chain = vol_v.dtype != jnp.bfloat16 and not io8
+    if directions == 8 and chain:
+        # The chained v-major accumulation reaches 6 * (max_cost + p2)
+        # in the FOLD buffer, but int16 storage's small_values contract
+        # only bounds the 2x per-axis sum (< 2^15 via max_cost + p2 <
+        # 16384) — for max_cost + p2 > 5461 the chained adds would wrap
+        # silently.  Chain only when the caller's cost_bound PROVES the
+        # 6x total fits; otherwise fall back to the unchained merge
+        # (bit-identical, three live per-axis sums).  int8 volumes fold
+        # into int16 with max_cost + p2 < 127 by contract — always fits.
+        fold_dt = jnp.int16 if vol_v.dtype == jnp.int8 else vol_v.dtype
+        if fold_dt == jnp.int16:
+            if vol_v.dtype == jnp.int8:
+                step_bound = 126
+            elif cost_bound is not None:
+                step_bound = cost_bound + p2
+            else:
+                step_bound = 16383  # small_values contract worst case
+            chain = 6 * step_bound < 2 ** 15
     if directions == 8 and chain:
         # The four diagonal paths ride the SAME vertical scan-major
         # volume with a per-step carry lane shift.  Predecessors:

@@ -129,3 +129,34 @@ def test_compare_artifacts_tolerance():
     b = {"x": np.array([1.0, 2.0 + 1e-7])}
     assert compare_artifacts(a, b) == ["x"]
     assert compare_artifacts(a, b, atol=1e-6) == []
+
+
+def test_ici_model_and_weak_scaling_prediction():
+    """The halo-exchange model (bench/roofline.ici_phase_model) must
+    reflect the sharded pipeline's structure: per-shard cost O(1) in
+    the shard count (ring neighbors only), the diffusion latency chain
+    as the dominant term, and a pre-registered efficiency >= 0.9 at
+    the production shard size (BASELINE.md's weak-scaling target)."""
+    from stereomatching_tpu.bench.roofline import (
+        ici_phase_model,
+        weak_scaling_prediction,
+    )
+    from stereomatching_tpu.config import StereoParams
+
+    params = StereoParams(num_shifts=64, edge_rule="exact")
+    ici = ici_phase_model(params, 256, 1024, batch=2)
+    assert set(ici) == {
+        "edges_halo", "boxfilter_halo", "diffusion_halo", "contour_reduce"
+    }
+    # times-1 sequential 1-row exchanges; tiny payloads -> latency-bound.
+    assert ici["diffusion_halo"]["exchanges"] == params.times - 1
+    assert ici["diffusion_halo"]["us"] == max(
+        m["us"] for m in ici.values()
+    )
+
+    curve = weak_scaling_prediction(params, 256, 1024, batch=2)
+    assert curve[0]["shards"] == 1 and curve[0]["predicted_efficiency"] == 1.0
+    effs = {r["predicted_efficiency"] for r in curve if r["shards"] >= 2}
+    assert len(effs) == 1, "per-shard ICI cost must be flat in N"
+    (eff,) = effs
+    assert 0.9 <= eff < 1.0, eff

@@ -179,6 +179,47 @@ class TestPallasSGM:
             np.asarray(sgm_aggregate(vol)),
         )
 
+    @pytest.mark.parametrize("cost_bound", [None, 7999])
+    def test_chained_8dir_int16_overflow_guard(self, cost_bound):
+        """int16-storage configs with max_cost + p2 > 5461 satisfy the
+        small_values contract (2x per-axis sum fits int16) but the
+        8-direction CHAINED v-major total 6*(max_cost+p2) would wrap the
+        int16 fold buffer silently.  The chain must fall back to the
+        unchained merge there — results bit-identical to int32 XLA —
+        both with an explicit cost_bound proving the overflow and with
+        no bound (conservative fallback)."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        # max_cost + p2 = 13999: under the 16384 int16 sentinel and the
+        # 2x per-axis fold fits int16, but 6x = 83994 wraps.
+        vol = jnp.asarray(self._vol(10, 14, 8, seed=2, hi=8000))
+        p1, p2 = 8, 6000
+        want = sgm_aggregate(vol, p1, p2, directions=8)
+        # The guard must actually be exercised: the 6 v-major directions
+        # alone exceed int16 (a wrapped chain could not produce this).
+        from stereomatching_tpu.ops.sgm import _directional
+
+        lr = _directional(vol, p1, p2)
+        rl = jnp.flip(_directional(jnp.flip(vol, axis=1), p1, p2), axis=1)
+        assert int(jnp.max(want - lr - rl)) > 2**15
+        got = sgm_aggregate_pallas(
+            vol, p1, p2, small_values=True, directions=8,
+            cost_bound=cost_bound,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_chained_8dir_int16_still_chains_under_bound(self):
+        """With a cost_bound proving 6*(max_cost+p2) < 2^15 the chained
+        int16 path stays selected and stays bit-identical."""
+        from stereomatching_tpu.ops.fused_sgm import sgm_aggregate_pallas
+
+        vol = jnp.asarray(self._vol(10, 14, 8, seed=3, hi=100))
+        want = sgm_aggregate(vol, 8, 96, directions=8)
+        got = sgm_aggregate_pallas(
+            vol, 8, 96, small_values=True, directions=8, cost_bound=99,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_directional_reverse_padding(self):
         """Reverse scan on an S the requested strip does not divide
         (the strip size walks down to a divisor; no S padding may leak

@@ -143,14 +143,18 @@ def build_variants():
                                          dtype=jnp.int16,
                                          interpret=False)
 
-    def sgm_volume_vmajor(cost, dtype):
+    def sgm_volume_vmajor(cost, dtype, h=None):
         # v-scan-major build with the d-indexed (strided sublane)
-        # stores — benched out of production in round 4 (the d-major
-        # builder + 2 XLA transposes measured faster), kept exported.
+        # stores — the 8-direction production volume route
+        # (models/modern._sgm_scan_major_volumes).  ``h`` overrides the
+        # row count: h=120 pins the strip/row-pad legality case (the
+        # round-5 regression: a divisor-of-H strip chooser picked 60 at
+        # H=1080, which Mosaic rejects — sublane block dims must be
+        # 8-multiples).
         from stereomatching_tpu.ops.fused_sgm import (
             sgm_volume_vmajor_pallas,
         )
-        g = gray[None]
+        g = (gray if h is None else gray[:h // 2].repeat(2, 0)[:h])[None]
         return lambda: sgm_volume_vmajor_pallas(
             g, g, D, cost=cost, dtype=dtype, interpret=False)
 
@@ -202,6 +206,8 @@ def build_variants():
         "sgm-tail-uniq": sgm_tail(uniq=True),
         "sgm-volume-census": sgm_volume("census"),
         "sgm-volume-sad": sgm_volume("sad"),
+        "sgm-volume-vmajor-h120": sgm_volume_vmajor("census", jnp.int8,
+                                                    h=120),
         "sgm-volume-vmajor-census-int8": sgm_volume_vmajor("census",
                                                            jnp.int8),
         "sgm-volume-vmajor-sad-int16": sgm_volume_vmajor("sad", jnp.int16),
@@ -221,6 +227,11 @@ def aot_compile(fn, device):
     import jax
     import jax.numpy as jnp
 
+    # The deepest kernel traces sit near CPython's default 1000-frame
+    # recursion limit; under pytest-xdist the worker's dispatch frames
+    # push them over (RecursionError mid-trace).  Raise it — trace depth
+    # is bounded by the kernels, not user input.
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
     s = jax.sharding.SingleDeviceSharding(device)
     dummy = jax.ShapeDtypeStruct((8, 128), jnp.float32, sharding=s)
     # lowering_platforms pins the lowering to TPU even when the process
