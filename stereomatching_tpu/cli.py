@@ -86,6 +86,22 @@ def _parse(argv: Sequence[str]) -> argparse.Namespace:
     p.add_argument("--shifts", type=int, default=None, help="number of disparities")
     p.add_argument("--outdir", default=".", help="artifact output directory")
     p.add_argument(
+        "--save-artifacts",
+        metavar="PATH",
+        help="classic pipeline: also checkpoint every artifact (exact "
+        "values + params) as one compressed .npz — the reference's "
+        "phase dumps as restartable state (src/stereo.c:302-320)",
+    )
+    p.add_argument(
+        "--resume",
+        metavar="PATH",
+        help="classic pipeline: skip matching and resume the finishing "
+        "phases (diffusion, contour) from a --save-artifacts "
+        "checkpoint's post-argmax web; bit-identical to the "
+        "uninterrupted run (times/lines may differ from the saved run; "
+        "upstream params must match)",
+    )
+    p.add_argument(
         "--no-writes",
         action="store_true",
         help="skip all image writes (the reference's -DNO_WRITES timing build)",
@@ -193,6 +209,61 @@ _TIERS = {
     "sharded": _run_sharded,
     "pallas": _run_pallas,
 }
+
+# StereoParams fields that determine the post-argmax winner web; a resume
+# checkpoint is only valid for a run with the same values (times/lines
+# shape only the finishing phases and MAY differ — that is the point).
+_UPSTREAM_FIELDS = (
+    "threshold", "square_width", "num_shifts", "mode", "edge_rule",
+)
+
+
+def _run_resume(path: str, tier: str, params: StereoParams):
+    """Resume the finishing phases from a --save-artifacts checkpoint."""
+    import json
+
+    from stereomatching_tpu.utils.artifacts import load_artifacts
+
+    ck = load_artifacts(path)
+    if "web-1" not in ck:
+        raise ValueError(f"{path}: not a classic checkpoint (no web-1)")
+    if "params" in ck:
+        saved = json.loads(str(ck["params"]))
+        cur = json.loads(params.to_json())
+        bad = [f for f in _UPSTREAM_FIELDS if saved.get(f) != cur[f]]
+        if bad:
+            raise ValueError(
+                f"{path}: checkpoint params differ in {bad} — the saved "
+                f"web is not valid for this run"
+            )
+    winner = np.asarray(ck["web-1"]).astype(np.int32)
+    if tier == "oracle":
+        from stereomatching_tpu.oracle import pipeline as oracle
+
+        web = oracle.fill_web_holes(winner, params.times)
+        out, min_e, max_e = oracle.draw_contour(web, params.lines)
+        fin = {"web-2": web, "output-0": out}
+    else:
+        _ensure_platform()
+        import jax
+
+        from stereomatching_tpu.models.classic import (
+            build_classic_finish_pipeline,
+        )
+
+        fn = build_classic_finish_pipeline(
+            params, use_pallas=(tier == "pallas")
+        )
+        fin = dict(jax.device_get(fn(winner)))
+        fin.pop("min_elevation", None)
+        fin.pop("max_elevation", None)
+    arts = {
+        k: np.asarray(v)
+        for k, v in ck.items()
+        if k in ("edges-1", "edges-2", "score_best", "web-1")
+    }
+    arts.update(fin)
+    return arts
 
 
 def _dump(arts: Dict[str, np.ndarray], outdir: str) -> None:
@@ -304,6 +375,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         )
         return 1
     if args.pipeline == "modern":
+        if args.resume or args.save_artifacts:
+            print(
+                "error: --save-artifacts/--resume are classic-pipeline "
+                "flags (the modern pipeline dumps disparity.npz)",
+                file=sys.stderr,
+            )
+            return 1
         t1 = time.monotonic()
         try:
             out = _run_modern(args, img1, img2)
@@ -334,7 +412,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # Timing mirrors the reference: excludes image load, includes artifact
     # writes unless --no-writes (src/stereo.c:297-324, Makefile:23).
     t1 = time.monotonic()
-    arts = _TIERS[args.tier](left, right, params, args.collect)
+    try:
+        if args.resume:
+            arts = _run_resume(args.resume, args.tier, params)
+        else:
+            arts = _TIERS[args.tier](left, right, params, args.collect)
+            if args.save_artifacts:
+                from stereomatching_tpu.utils.artifacts import save_artifacts
+
+                save_artifacts(
+                    args.save_artifacts,
+                    {
+                        **{k: np.asarray(v) for k, v in arts.items()},
+                        "params": np.asarray(params.to_json()),
+                    },
+                )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if not args.no_writes:
         _dump(arts, args.outdir)
     t2 = time.monotonic()

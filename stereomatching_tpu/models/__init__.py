@@ -8,8 +8,10 @@
 
 from stereomatching_tpu.models.classic import (
     classic_forward,
+    classic_finish,
     build_classic_pipeline,
     build_classic_collect_pipeline,
+    build_classic_finish_pipeline,
 )
 from stereomatching_tpu.models.modern import (
     modern_forward,
@@ -19,8 +21,10 @@ from stereomatching_tpu.models.modern import (
 
 __all__ = [
     "classic_forward",
+    "classic_finish",
     "build_classic_pipeline",
     "build_classic_collect_pipeline",
+    "build_classic_finish_pipeline",
     "modern_forward",
     "build_modern_pipeline",
     "disparity_one_view",

@@ -206,6 +206,43 @@ def build_classic_pipeline(
     return jax.jit(fn)
 
 
+def classic_finish(
+    winner: jnp.ndarray,
+    params: StereoParams,
+    use_pallas: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """The finishing phases alone — diffusion + contour from a
+    post-argmax winner web [H, W].  The resume entry point: the
+    reference's phase dumps double as restartable state
+    (src/stereo.c:302-320); here the CLI's ``--resume`` feeds a saved
+    ``web-1`` checkpoint back through exactly these phases, and the
+    result is bit-identical to the uninterrupted run (the phases are
+    pure integer functions of the winner web)."""
+    if use_pallas:
+        web, min_e, max_e = _fill_web_holes_auto(
+            winner, params.times, params.num_shifts, with_range=True
+        )
+        out = contour_bands(web, params.lines, min_e, max_e)
+    else:
+        web = fill_web_holes(winner, params.times)
+        out, min_e, max_e = draw_contour(web, params.lines)
+    return {
+        "web-2": web,
+        "output-0": out,
+        "min_elevation": min_e,
+        "max_elevation": max_e,
+    }
+
+
+def build_classic_finish_pipeline(
+    params: StereoParams, use_pallas: bool = False
+) -> Callable[[jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Jitted ``classic_finish`` for fixed params (CLI ``--resume``)."""
+    return jax.jit(
+        functools.partial(classic_finish, params=params, use_pallas=use_pallas)
+    )
+
+
 def build_classic_collect_pipeline(
     params: StereoParams,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:

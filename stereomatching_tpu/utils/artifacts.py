@@ -4,7 +4,8 @@ compressed ``.npz``.
 The framework's equivalent of the reference's per-phase PPM dumps
 (src/stereo.c:302-320) used as both debug state and golden files —
 ``.npz`` keeps exact integer/float values (PPM normalizes), doubles as
-a resume point for the finishing phases, and diffs with
+a resume point for the finishing phases (consumed by the CLI's
+``--save-artifacts``/``--resume``, cli.py:_run_resume), and diffs with
 ``compare_artifacts``.
 """
 

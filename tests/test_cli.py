@@ -216,3 +216,83 @@ def test_modern_cli_sgm_quality_stack(pair_paths, tmp_path):
     z = np.load(os.path.join(outdir, "disparity.npz"))
     assert "uniqueness" in z.files
     assert np.isfinite(z["uniqueness"]).all()
+
+
+def _read_all_ppms(d):
+    return {
+        f: open(os.path.join(d, f), "rb").read()
+        for f in sorted(os.listdir(d))
+        if f.endswith(".ppm")
+    }
+
+
+def test_checkpoint_resume_bit_identical(pair_paths, tmp_path):
+    """--save-artifacts then --resume must reproduce the uninterrupted
+    run's artifacts byte-for-byte (the reference's phase dumps as
+    restartable state, src/stereo.c:302-320) — including a resume on a
+    DIFFERENT tier (the finishing phases are pure integer functions of
+    the saved winner web)."""
+    a, b, _, _ = pair_paths
+    ck = str(tmp_path / "ck.npz")
+    full = str(tmp_path / "full")
+    args = [a, b, "0.15", "9", "6", "4", "--shifts", "12",
+            "--tier", "oracle"]
+    assert cli.main(args + ["--outdir", full, "--save-artifacts", ck]) == 0
+
+    resumed = str(tmp_path / "resumed")
+    assert cli.main(args + ["--outdir", resumed, "--resume", ck]) == 0
+    assert _read_all_ppms(full) == _read_all_ppms(resumed)
+
+    cross = str(tmp_path / "cross")
+    assert cli.main(
+        [a, b, "0.15", "9", "6", "4", "--shifts", "12", "--tier", "jax",
+         "--outdir", cross, "--resume", ck]
+    ) == 0
+    assert _read_all_ppms(full) == _read_all_ppms(cross)
+
+
+def test_resume_changed_finishing_params(pair_paths, tmp_path):
+    """times/lines may change on resume (they only shape the finishing
+    phases); the result must equal a from-scratch run with the new
+    values."""
+    a, b, _, _ = pair_paths
+    ck = str(tmp_path / "ck.npz")
+    assert cli.main(
+        [a, b, "0.15", "9", "6", "4", "--shifts", "12", "--tier",
+         "oracle", "--no-writes", "--save-artifacts", ck]
+    ) == 0
+    resumed = str(tmp_path / "res")
+    assert cli.main(
+        [a, b, "0.15", "9", "12", "7", "--shifts", "12", "--tier",
+         "oracle", "--outdir", resumed, "--resume", ck]
+    ) == 0
+    scratch = str(tmp_path / "scratch")
+    assert cli.main(
+        [a, b, "0.15", "9", "12", "7", "--shifts", "12", "--tier",
+         "oracle", "--outdir", scratch]
+    ) == 0
+    assert _read_all_ppms(resumed) == _read_all_ppms(scratch)
+
+
+def test_resume_rejects_mismatched_upstream_params(pair_paths, tmp_path, capsys):
+    a, b, _, _ = pair_paths
+    ck = str(tmp_path / "ck.npz")
+    assert cli.main(
+        [a, b, "0.15", "9", "6", "4", "--shifts", "12", "--tier",
+         "oracle", "--no-writes", "--save-artifacts", ck]
+    ) == 0
+    rc = cli.main(
+        [a, b, "0.2", "9", "6", "4", "--shifts", "12", "--tier",
+         "oracle", "--no-writes", "--resume", ck]
+    )
+    assert rc == 1
+    assert "threshold" in capsys.readouterr().err
+
+
+def test_resume_rejects_modern_pipeline(pair_paths, tmp_path, capsys):
+    a, b, _, _ = pair_paths
+    rc = cli.main(
+        [a, b, "--pipeline", "modern", "--resume", str(tmp_path / "x.npz")]
+    )
+    assert rc == 1
+    assert "classic-pipeline" in capsys.readouterr().err
