@@ -2,15 +2,23 @@
 # graphs; Makefile:1-87) for a Python/JAX framework.
 PY ?= python
 
-.PHONY: all native test test-tpu bench sweep graphs multihost golden clean
+.PHONY: all native test test-all test-tpu bench sweep graphs multihost golden clean
 
 all: native
 
 native:
 	$(MAKE) -C native
 
+# Fast correctness gate (~3-4 min on 4 CPUs): everything except the
+# slow tier (Mosaic AOT legality + fuzz sweeps).  --dist loadgroup pins
+# the AOT serial group to one worker when the slow tier is included.
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -n 4 --dist loadgroup -m "not slow"
+
+# Everything, including the Mosaic AOT kernel-legality gate and the
+# fuzz sweeps (~15 min; run after touching ops/*.py kernels).
+test-all:
+	$(PY) -m pytest tests/ -q -n 4 --dist loadgroup
 
 # Run the suite against the real TPU instead of the virtual CPU mesh.
 test-tpu:

@@ -5,6 +5,8 @@ vs width, odd times) that the targeted tests don't enumerate."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # randomized sweeps: the test-all tier
+
 from stereomatching_tpu.config import BoundaryMode, StereoParams
 from stereomatching_tpu.models.classic import build_classic_pipeline
 from stereomatching_tpu.oracle import pipeline as oracle

@@ -25,6 +25,16 @@ sys.path.insert(
 
 import compile_smoke  # noqa: E402
 
+# Serial group + slow tier: the AOT compiles are the suite's heaviest
+# single-worker chain (~2-5 s per variant, all pinned to one xdist
+# worker via loadgroup so the deep traces and libtpu stay in one
+# process), and they only gate KERNEL changes — run `make test-all`
+# (or `pytest -m slow`) after touching ops/*.py kernels.
+pytestmark = [
+    pytest.mark.xdist_group("mosaic_aot"),
+    pytest.mark.slow,
+]
+
 
 @pytest.fixture(scope="module")
 def chipless_dev():

@@ -100,3 +100,38 @@ def test_slanted_subpixel_epe():
     # measured round 4: EPE 0.095, bad1 0.0
     assert rep["epe"] <= 0.2, rep
     assert rep["bad1"] <= 0.02, rep
+
+
+def test_reference_pair_cross_algorithm_agreement():
+    """REAL-image gate (the reference's own rendered stereo pair 1):
+    the modern census/SGM-8dir pipeline must agree with the classic
+    edge-matching web — an independent algorithm, bit-identical to the
+    serial C reference — on pixels where both are confident.  Thresholds
+    are ~30-50% above the round-5 measured values (EPE 1.59, bad1 0.40,
+    bad2 0.23 at conf_frac=0.7; docs/BENCHMARKS.md real-image table);
+    a regression in either pipeline's real-image behavior trips this
+    even though no ground-truth disparity exists for these scenes."""
+    import importlib.util
+    import os
+    import sys
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools",
+        "eval_reference_pairs.py",
+    )
+    fixture = "/root/reference/test/imgs/1-240x135"
+    if not os.path.isdir(fixture):
+        pytest.skip("reference fixtures unavailable")
+    spec = importlib.util.spec_from_file_location("eval_reference_pairs", tool)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["eval_reference_pairs"] = mod
+    spec.loader.exec_module(mod)
+
+    res = mod.evaluate_pair(
+        os.path.join(fixture, "a.png"), os.path.join(fixture, "b.png")
+    )
+    agree = res["agreement"]
+    assert res["joint_mask_frac"] > 0.6, res
+    assert agree["epe"] <= 2.2, agree
+    assert agree["bad1"] <= 0.55, agree
+    assert agree["bad2"] <= 0.33, agree
