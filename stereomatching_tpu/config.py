@@ -172,17 +172,9 @@ class ModernParams:
             raise ValueError("need 0 <= sgm_p1 <= sgm_p2")
         if self.sgm_directions not in (4, 8):
             raise ValueError("sgm_directions must be 4 or 8")
-        if self.scales != 1 and self.aggregation == "sgm":
-            # The SGM route's smoothness prior plays the role the
-            # coarse pyramid level plays for box aggregation; fusing
-            # both is unimplemented — reject rather than silently
-            # ignore scales (the SGM volume is per-pixel costs only).
-            raise ValueError(
-                f"scales={self.scales} is a box-aggregation feature; "
-                "the SGM route does not fuse a cost pyramid "
-                "(docs/API.md: breaking change in round 4 — previously "
-                "silently ignored)"
-            )
+        # (round 5: scales=2 now fuses a half-res per-pixel cost prior
+        # into the SGM volume too — models/modern._sgm_volume; the
+        # round-4 rejection is lifted.)
         if self.fill_mode not in ("diffusion", "background"):
             raise ValueError("fill_mode must be 'diffusion' or 'background'")
         if self.uniqueness and self.aggregation != "sgm":

@@ -124,6 +124,11 @@ def modern_pallas_supported(params: ModernParams):
     on this instead of letting the kernel raise (the kernel's bounds are
     exactness bounds, see ops/fused_modern.py docstring)."""
     if params.aggregation == "sgm":
+        if params.scales != 1:
+            return False, (
+                "multi-scale SGM cost fusion runs on the XLA tier "
+                "(the VMEM volume builders are single-scale)"
+            )
         # SGM's directional recurrences have their own VMEM kernel
         # (ops/fused_sgm.py); no further bounds apply.
         return True, ""
@@ -190,20 +195,55 @@ def _sgm_volume(
     other_ext = _extend_left(other, d_count)
     pcost = _pixel_cost(params)
 
+    coarse = None
+    if params.scales == 2:
+        # Multi-scale fusion on the SGM route (SURVEY §7 step 6): add
+        # coarse_weight x the upsampled HALF-RES per-pixel cost at d//2
+        # — per-pixel (not window-aggregated like the box route's
+        # pyramid) because SGM's own path aggregation supplies the
+        # spatial support; the coarse level contributes a 2x2-pooled
+        # matching prior that penalizes candidates inconsistent at the
+        # coarser scale.  d-pairs share a coarse plane, so only
+        # ceil(D/2) coarse planes are built.  Exact integers: the fused
+        # cost is bounded by _sgm_cost_bound's (1 + coarse_weight)
+        # factor, which also sizes the storage dtype and the chained-
+        # fold gate.
+        ref_c = _maybe_census(_downsample2(left.astype(jnp.int32)), params)
+        other_c = _maybe_census(_downsample2(right.astype(jnp.int32)), params)
+        hc, wc = ref_c.shape
+        dc_count = -(-d_count // 2)
+        oc_ext = _extend_left(other_c, dc_count)
+        weight = jnp.int32(params.coarse_weight)
+        coarse = [
+            weight * _upsample2(
+                pcost(ref_c, oc_ext[:, dc_count - di : dc_count - di + wc]),
+                h, w,
+            )
+            for di in range(dc_count)
+        ]
+
     if layout == "dhw":
         # Static slices, Python-unrolled: one fused XLA kernel writes
         # the volume once (the vmapped dynamic_slice form measured
         # ~4.5 ms/pair of pure overhead at 1 MP x 64 d).
+        def fine(d):
+            c = pcost(ref, other_ext[:, d_count - d : d_count - d + w])
+            return c if coarse is None else c + coarse[d // 2]
+
         return jnp.stack(
-            [pcost(ref, other_ext[:, d_count - d : d_count - d + w])
-             .astype(dtype) for d in range(d_count)]
+            [fine(d).astype(dtype) for d in range(d_count)]
         )
+
+    coarse_arr = None if coarse is None else jnp.stack(coarse)
 
     def cost_at(d):
         win = jax.lax.dynamic_slice(
             other_ext, (jnp.zeros((), d.dtype), d_count - d), (h, w)
         )
-        return pcost(ref, win)
+        c = pcost(ref, win)
+        if coarse_arr is not None:
+            c = c + coarse_arr[d // 2]
+        return c
 
     vol = jax.vmap(cost_at)(jnp.arange(d_count, dtype=jnp.int32))  # [D, H, W]
     return jnp.moveaxis(vol, 0, -1)  # [H, W, D]
@@ -407,11 +447,12 @@ def _sgm_forward(
     VMEM-resident kernel (ops/fused_sgm.py) — bit-identical."""
     from stereomatching_tpu.ops.sgm import sgm_aggregate
 
-    if use_pallas:
+    if use_pallas and params.scales == 1:
         # One shared route with the batched entry (scan-major volumes
         # + folded directional kernels + fused tail): a single pair is
         # a batch of one — the kernels' lane chains are independent
         # per pair, so results are bit-identical either way.
+        # (Multi-scale fusion stays on the XLA volume below.)
         out = _sgm_forward_batched_pallas(left[None], right[None], params)
         return {k: v[0] for k, v in out.items()}
     vol = _sgm_volume(left, right, params)
@@ -423,10 +464,17 @@ def _sgm_forward(
 def _sgm_cost_bound(params: ModernParams) -> int:
     """Static per-pixel cost ceiling of the SGM volume: census Hamming
     distance is at most the code's bit count (window^2 - 1 neighbour
-    bits), SAD on 8-bit intensities at most 255."""
-    if params.cost == "census":
-        return params.census_window * params.census_window - 1
-    return 255
+    bits), SAD on 8-bit intensities at most 255; multi-scale fusion
+    adds coarse_weight x the same per-pixel bound from the half-res
+    level (_sgm_volume)."""
+    base = (
+        params.census_window * params.census_window - 1
+        if params.cost == "census"
+        else 255
+    )
+    if params.scales == 2:
+        base *= 1 + params.coarse_weight
+    return base
 
 
 def _sgm_fits_int16(params: ModernParams) -> bool:
@@ -508,6 +556,11 @@ def _sgm_forward_batched_pallas(
     operands 11.7 vs 9.3 — because the cost expression either
     re-evaluates or the writes lose fusion; the VMEM builder avoids
     both.)"""
+    if params.scales != 1:
+        raise ValueError(
+            "multi-scale SGM fusion runs on the XLA tier "
+            "(modern_pallas_supported gates dispatch)"
+        )
     from stereomatching_tpu.ops.fused_sgm import (
         aggregate_from_scan_major,
         sgm_aggregate_pallas,
@@ -554,7 +607,7 @@ def modern_forward(
     if params.aggregation == "sgm":
         fn = functools.partial(_sgm_forward, params=params, use_pallas=use_pallas)
         if left.ndim == 3:
-            if use_pallas:
+            if use_pallas and params.scales == 1:
                 return _sgm_forward_batched_pallas(left, right, params)
             return jax.vmap(fn)(left, right)
         return fn(left, right)

@@ -42,15 +42,65 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _read_pgm_gray(data: bytes, path: str) -> np.ndarray:
+    """Decode an 8-bit PGM (P5 binary / P2 ASCII) to uint8 [H, W].
+
+    Input-breadth extension over the PNG-only core: the reference
+    accepts anything stb_image decodes (src/image.c:18-35, which
+    includes PGM/JPEG); here PNG + PGM cover the grayscale formats the
+    pipelines actually consume — JPEG is deliberately out of scope
+    (docs/PARITY.md component 8)."""
+    magic = data[:2]
+    # Tokenize the header: magic, width, height, maxval, with
+    # '#' comments running to end-of-line.
+    tokens = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos:pos + 1]
+        if c == b"#":
+            pos = data.find(b"\n", pos)
+            if pos < 0:
+                break
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError(f"{path}: truncated PGM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(
+            f"{path}: 16-bit PGM (maxval {maxval}) unsupported — the "
+            f"pipelines take 8-bit grayscale (src/image.c:8-15)"
+        )
+    if magic == b"P5":
+        pos += 1  # exactly one whitespace byte after maxval
+        px = np.frombuffer(data, np.uint8, count=width * height, offset=pos)
+    else:  # P2: ASCII samples
+        vals = data[pos:].split()
+        if len(vals) < width * height:
+            raise ValueError(f"{path}: truncated PGM data")
+        px = np.array(vals[: width * height], dtype=np.uint8)
+    return px.reshape(height, width).copy()
+
+
 def read_png_gray(path: str) -> np.ndarray:
-    """Decode an 8-bit grayscale (color type 0) PNG to uint8 [H, W].
+    """Decode an 8-bit grayscale image to uint8 [H, W]: PNG (color
+    type 0) or PGM (P5/P2).
 
     Mirrors the reference's input contract: 1-channel grayscale only
     (src/image.c:27-31); anything else is an error.  Uses the native
-    decoder (native/stereo_io.cpp) when built.
+    decoder (native/stereo_io.cpp) for PNG when built.
     """
     with open(path, "rb") as f:
         data = f.read()
+    if data[:2] in (b"P5", b"P2"):
+        return _read_pgm_gray(data, path)
     from stereomatching_tpu.utils import native
 
     if native.available():

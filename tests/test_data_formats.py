@@ -163,3 +163,67 @@ def test_quality_gate_on_synthetic_scene(tmp_path):
     # Regression gate (current: bad2 ~= 0.126 on LR-consistent pixels —
     # errors concentrate at the scene's occlusion boundaries).
     assert rep["bad2"] < 0.15
+
+
+class TestPGMInput:
+    """Input-breadth: the reference accepts any stb-decodable grayscale
+    (src/image.c:18-35); our core adds PGM P5/P2 next to PNG (JPEG is a
+    documented non-goal, docs/PARITY.md component 8)."""
+
+    def _img(self):
+        from tests.util import synthetic_pair
+
+        left, _ = synthetic_pair(h=24, w=32, seed=9)
+        return left
+
+    def test_p5_roundtrip(self, tmp_path):
+        from stereomatching_tpu.utils.imageio import read_png_gray
+
+        img = self._img()
+        p = tmp_path / "x.pgm"
+        p.write_bytes(
+            b"P5\n# comment\n%d %d\n255\n" % (img.shape[1], img.shape[0])
+            + img.tobytes()
+        )
+        np.testing.assert_array_equal(read_png_gray(str(p)), img)
+
+    def test_p2_roundtrip(self, tmp_path):
+        from stereomatching_tpu.utils.imageio import read_png_gray
+
+        img = self._img()
+        body = "\n".join(
+            " ".join(str(v) for v in row) for row in img
+        )
+        p = tmp_path / "x.pgm"
+        p.write_text(
+            f"P2\n{img.shape[1]} {img.shape[0]}\n255\n{body}\n"
+        )
+        np.testing.assert_array_equal(read_png_gray(str(p)), img)
+
+    def test_16bit_rejected(self, tmp_path):
+        from stereomatching_tpu.utils.imageio import read_png_gray
+
+        p = tmp_path / "x.pgm"
+        p.write_bytes(b"P5\n2 2\n65535\n" + b"\0" * 8)
+        with pytest.raises(ValueError, match="16-bit"):
+            read_png_gray(str(p))
+
+    def test_cli_accepts_pgm_pair(self, tmp_path):
+        from tests.util import synthetic_pair
+
+        from stereomatching_tpu import cli
+
+        left, right = synthetic_pair(h=24, w=32, seed=9)
+        paths = []
+        for name, img in (("a", left), ("b", right)):
+            p = tmp_path / f"{name}.pgm"
+            p.write_bytes(
+                b"P5\n%d %d\n255\n" % (img.shape[1], img.shape[0])
+                + img.tobytes()
+            )
+            paths.append(str(p))
+        rc = cli.main(
+            paths + ["0.15", "9", "4", "4", "--shifts", "8",
+                     "--tier", "oracle", "--outdir", str(tmp_path / "o")]
+        )
+        assert rc == 0

@@ -287,11 +287,51 @@ def test_lr_consistency_unroll_bit_identical():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_scales_rejected_on_sgm_route():
-    """scales=2 is a box-aggregation feature; the SGM route must
-    REJECT it rather than silently ignore the pyramid (config guard,
-    round 4)."""
+def test_multiscale_sgm_fusion():
+    """Round 5: scales=2 fuses a half-res per-pixel cost prior into
+    the SGM volume (it was rejected in round 4).  The fused volume
+    must differ from single-scale, stay within the scaled cost bound
+    (which sizes the storage dtype), run end-to-end, and the pallas
+    dispatch must fall back to the XLA tier."""
+    import jax.numpy as jnp
     import pytest
 
-    with pytest.raises(ValueError, match="box-aggregation"):
-        ModernParams(num_disparities=8, scales=2, aggregation="sgm")
+    from stereomatching_tpu.models.modern import (
+        _sgm_cost_bound,
+        _sgm_volume,
+        build_modern_pipeline,
+        modern_pallas_supported,
+    )
+
+    left, right = synthetic_pair(h=32, w=48, seed=5)
+    p1 = ModernParams(num_disparities=8, aggregation="sgm", cost="census",
+                      scales=1)
+    p2 = ModernParams(num_disparities=8, aggregation="sgm", cost="census",
+                      scales=2)
+    v1 = np.asarray(_sgm_volume(jnp.asarray(left, jnp.int32),
+                                jnp.asarray(right, jnp.int32), p1))
+    v2 = np.asarray(_sgm_volume(jnp.asarray(left, jnp.int32),
+                                jnp.asarray(right, jnp.int32), p2))
+    assert (v2 >= v1).all()  # the coarse prior adds non-negative cost
+    assert (v2 > v1).any()
+    assert v2.max() <= _sgm_cost_bound(p2)
+    assert _sgm_cost_bound(p2) == _sgm_cost_bound(p1) * (
+        1 + p2.coarse_weight
+    )
+    ok, why = modern_pallas_supported(p2)
+    assert not ok and "XLA" in why
+
+    out = build_modern_pipeline(p2)(left.astype(np.int32),
+                                    right.astype(np.int32))
+    assert np.asarray(out["disparity"]).shape == left.shape
+    # dhw and hwd layouts agree on the fused volume.
+    vd = np.asarray(_sgm_volume(jnp.asarray(left, jnp.int32),
+                                jnp.asarray(right, jnp.int32), p2,
+                                layout="dhw"))
+    np.testing.assert_array_equal(np.moveaxis(vd, 0, -1), v2)
+    # use_pallas requests fall back (no exception, same values).
+    out_pal = build_modern_pipeline(p2, use_pallas=True)(
+        left.astype(np.int32), right.astype(np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(out_pal["disparity"]),
+                                  np.asarray(out["disparity"]))
