@@ -9,14 +9,14 @@ all: native
 native:
 	$(MAKE) -C native
 
-# Fast correctness gate (~3-4 min on 4 CPUs): everything except the
-# slow tier (Mosaic AOT legality + fuzz sweeps).  --dist loadgroup pins
-# the AOT serial group to one worker when the slow tier is included.
+# Fast correctness gate (~5 min on 4 CPUs): everything except the
+# slow tier (Mosaic AOT legality, fuzz sweeps, probe surfaces).
 test:
 	$(PY) -m pytest tests/ -q -n 4 --dist loadgroup -m "not slow"
 
-# Everything, including the Mosaic AOT kernel-legality gate and the
-# fuzz sweeps (~15 min; run after touching ops/*.py kernels).
+# Everything, including the Mosaic AOT kernel-legality gate (one
+# hermetic subprocess over the whole inventory) and the fuzz sweeps
+# (~10 min; run after touching ops/*.py kernels).
 test-all:
 	$(PY) -m pytest tests/ -q -n 4 --dist loadgroup
 

