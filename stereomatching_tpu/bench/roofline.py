@@ -97,8 +97,11 @@ def classic_phase_models(
     rows = tile_rows + 2 * pad_half
     hp = _round_up(h, tile_rows)
     n_tiles = hp // tile_rows
-    lw_l = _round_up(w + 2 * half, 128)
-    lw_r = _round_up(w + 2 * half + d, 128)
+    # Padded lane widths follow the kernel's x-tiling above W=2048
+    # (ops/fused._x_tiling) so the 4K/8K rows model the real layouts.
+    from stereomatching_tpu.ops.fused import _x_tiling
+
+    _, _, _, _, lw_l, lw_r = _x_tiling(w, half, d, None)
     hw = h * w
 
     # --- edges: read 2 f32 brightness planes, write 2 int32 edge maps;
@@ -506,15 +509,24 @@ def measure(
     del ins
 
     pad_half = _round_up(params.half, 4)
+    # The kernel x-tiles above W=2048; the isolated prep/kernel phases
+    # must use the SAME padded lane geometry the production call does.
+    from stereomatching_tpu.ops.fused import _x_tiling
+
+    _, _, _, _, lw_l, lw_r = _x_tiling(w, params.half, d, None)
     prep_fn = jax.jit(
         lambda a, b: sum(
-            x.sum() for x in _prepare(a, b, params, tr, pad_half)[:2]
+            x.sum()
+            for x in _prepare(a, b, params, tr, pad_half, lw_l, lw_r)[:2]
         )
     )
     t = _time_checksum(prep_fn, edge_ins, iters)
     rows.append(verdict("kernel_prep", t / batch, models["kernel_prep"], peaks))
 
-    pad_ins = [_prepare(a, b, params, tr, pad_half)[:2] for a, b in edge_ins]
+    pad_ins = [
+        _prepare(a, b, params, tr, pad_half, lw_l, lw_r)[:2]
+        for a, b in edge_ins
+    ]
     jax.block_until_ready(pad_ins)
     interp = jax.default_backend() not in ("tpu", "axon")
     kern_fn = jax.jit(

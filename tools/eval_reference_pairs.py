@@ -158,6 +158,13 @@ def main() -> int:
     p.add_argument("--conf-frac", type=float, default=0.7)
     p.add_argument("--uniqueness-min", type=float, default=None)
     p.add_argument("--dump-dir", default=None)
+    p.add_argument("--max-scale", type=int, default=8,
+                   help="cap the per-pair render scale used to size the "
+                        "search ranges: pair 5's native 16x would need "
+                        "D=512 at 3840x2160 — a multi-GB volume whose "
+                        "remote compile is impractical; at the cap the "
+                        "deepest few percent of the scene saturates "
+                        "(reported in the mask fraction)")
     args = p.parse_args()
 
     from stereomatching_tpu.cli import _ensure_platform
@@ -174,7 +181,7 @@ def main() -> int:
         d = os.path.join(REF_IMGS, match[0])
         # Render scale relative to the 240x135 base fixture; the modern
         # disparity range scales with it (power-of-2 for int8 storage).
-        scale = 2 ** (n - 1)
+        scale = min(2 ** (n - 1), args.max_scale)
         res = evaluate_pair(
             os.path.join(d, "a.png"), os.path.join(d, "b.png"),
             disparities=args.disparities * scale, window=args.window,
