@@ -417,15 +417,30 @@ def fill_web_holes_pallas(
     # [tile+2*halo, wp] arrays per chain + the shared input block) fits
     # the VMEM budget — wide images would otherwise blow the scoped
     # allocation (observed 29.7 MB at W=1920, tile 256).
-    budget = 44 << 20
-    tile_rows = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
-    while tile_rows > 8:
-        est = wp * 4 * (
-            2 * (tile_rows + 2 * halo) * 8 + (2 * tile_rows + 2 * halo) * 3
-        )
-        if est <= budget:
-            break
-        tile_rows -= 8
+    vmem_limit = 64 << 20
+
+    def _fit(budget: int) -> int:
+        t = max(8, min(_round_up(tile_rows, 8), _round_up(h, 8)))
+        while t > 8:
+            est = wp * 4 * (
+                2 * (t + 2 * halo) * 8 + (2 * t + 2 * halo) * 3
+            )
+            if est <= budget:
+                break
+            t -= 8
+        return t
+
+    tile_rows_fit = _fit(44 << 20)
+    if tile_rows_fit < 2 * halo:
+        # Halo-dominated tiles: every tile recomputes (tile+2*halo)/tile
+        # x its payload across all `steps` — at 8K the 44 MB budget
+        # forced 8-row tiles under a 62-row halo (8.75x recompute,
+        # measured 45 ms/pair, 62% of the end-to-end — the round-4 size
+        # ladder's 94x -> 47x droop).  Escalate toward the 128 MB
+        # physical VMEM before paying that redundancy.
+        vmem_limit = 100 << 20
+        tile_rows_fit = _fit(80 << 20)
+    tile_rows = tile_rows_fit
     # Two interleaved chains per grid step when the image has at least
     # two tiles (ILP for the latency-bound step chain).
     chains = 2 if h > tile_rows else 1
@@ -456,7 +471,7 @@ def fill_web_holes_pallas(
     common = dict(
         grid=(bsz, n_super),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
     if with_range:

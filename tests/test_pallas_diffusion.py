@@ -105,3 +105,14 @@ def test_with_range_times_one():
     web = _web(16, 128, 3)
     out, mn, mx = fill_web_holes_pallas(web, 1, with_range=True)
     assert int(mn) == web.min() and int(mx) == web.max()
+
+
+def test_wide_image_escalated_budget_matches_oracle():
+    """Wide images trigger the escalated-VMEM tile selection (round 5:
+    the 44 MB budget forced 8-row tiles under the 62-row step halo at
+    W=7680, an 8.75x recompute — the 8K droop).  The escalated
+    geometry must stay bit-identical to the oracle."""
+    web = _web(40, 7680, seed=9)
+    want = fill_web_holes(web, 32)
+    got = fill_web_holes_pallas(web, 32)
+    np.testing.assert_array_equal(np.asarray(got), want)

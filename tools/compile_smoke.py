@@ -169,6 +169,16 @@ def build_variants():
         return lambda: sgm_tail_pallas(v, interpret=False,
                                        with_uniqueness=uniq)
 
+    def diffusion_wide():
+        # Wide-image escalation path (round 5): at W=7680 the 44 MB
+        # budget would force 8-row tiles under the 62-row step halo;
+        # the kernel escalates to the 100 MB VMEM limit.  Must lower.
+        from stereomatching_tpu.ops.fused_diffusion import (
+            fill_web_holes_pallas,
+        )
+        wide = jnp.tile(gray, (1, 60))[:, :7680][None]
+        return lambda: fill_web_holes_pallas(wide, 32, interpret=False)
+
     def fill_invalid():
         from stereomatching_tpu.ops.fused_diffusion import fill_invalid_pallas
         return lambda: fill_invalid_pallas(
@@ -192,6 +202,7 @@ def build_variants():
         "classic-wrap": lambda: classic_wrap(),
         "classic-edges-in": lambda: classic_edges_in(),
         "diffusion": diffusion(False),
+        "diffusion-wide": diffusion_wide(),
         "diffusion-range": diffusion(True),
         "sgm-int32-fwd": sgm(jnp.int32, False),
         "sgm-int32-rev": sgm(jnp.int32, True),
