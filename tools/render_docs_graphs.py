@@ -42,7 +42,7 @@ SGM = [
 # (report/data.txt:4), seconds/pair.
 SIZES = ["240x135", "480x270", "960x540", "1920x1080", "3840x2160",
          "7680x4320"]
-TPU_S = [0.000265, 0.000669, 0.000914, 0.002483, 0.01046, 0.0694]
+TPU_S = [0.000265, 0.000669, 0.000914, 0.002483, 0.01031, 0.04050]  # round-5 8K diffusion fix
 REF_S = [0.006076, 0.015374, 0.055790, 0.232813, 0.878147, 3.270732]
 
 
