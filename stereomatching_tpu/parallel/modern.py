@@ -869,9 +869,11 @@ def sharded_modern_forward(
     (window//2 + census_window//2 for box aggregation, the census
     neighborhood alone for SGM, whose vertical recurrences instead run
     as a phased carry chain across the row shards).  Restriction:
-    scales=1 for box aggregation (the half-resolution pyramid does not
-    row-shard evenly); SGM ignores scales."""
-    if params.aggregation == "box" and params.scales != 1:
+    scales=1 (the half-resolution pyramid does not row-shard evenly;
+    round 5 added SGM cost fusion on the single-chip XLA tier, so the
+    sharded tier must REJECT scales!=1 rather than silently compute
+    the single-scale volume)."""
+    if params.scales != 1:
         raise ValueError(
             "sharded modern tier supports scales=1 (the half-resolution "
             "pyramid does not row-shard evenly)"

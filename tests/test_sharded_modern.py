@@ -258,3 +258,24 @@ def test_sharded_modern_2d_validation():
             ModernParams(num_disparities=8, fill_mode="background"),
             make_mesh(data=1, rows=2, cols=4),
         )
+
+
+def test_sharded_rejects_multiscale_sgm():
+    """Round 5: scales=2 fuses a cost pyramid into the SGM volume on
+    the single-chip XLA tier; the sharded tier does not implement the
+    fusion and must reject rather than silently compute single-scale."""
+    import jax
+    import pytest
+
+    from stereomatching_tpu.config import ModernParams
+    from stereomatching_tpu.parallel import (
+        build_sharded_modern_pipeline,
+        make_mesh,
+    )
+
+    mesh = make_mesh(data=1, rows=2, devices=jax.devices()[:2])
+    params = ModernParams(num_disparities=8, aggregation="sgm", scales=2)
+    fn = build_sharded_modern_pipeline(params, mesh)
+    l = np.zeros((1, 32, 64), np.int32)
+    with pytest.raises(ValueError, match="scales=1"):
+        fn(l, l)
