@@ -95,6 +95,8 @@ def evaluate_pair(
     cparams = StereoParams(
         square_width=sw, edge_rule="exact", num_shifts=num_shifts * scale
     )
+    print(f"  [classic: shifts={cparams.num_shifts} sw={sw}]",
+          file=sys.stderr, flush=True)
     classic = jax.device_get(
         build_classic_pipeline(cparams)(
             to_brightness(a, np.float32), to_brightness(b, np.float32)
@@ -116,6 +118,8 @@ def evaluate_pair(
 
     supported, _ = modern_pallas_supported(mparams)
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    print(f"  [modern: D={disparities} pallas={supported and on_tpu}]",
+          file=sys.stderr, flush=True)
     modern = jax.device_get(
         build_modern_pipeline(mparams, use_pallas=supported and on_tpu)(
             b.astype(np.int32), a.astype(np.int32)  # left=b: d == shift
