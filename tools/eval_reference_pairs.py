@@ -62,6 +62,7 @@ def evaluate_pair(
     square_width: int = 21,
     num_shifts: int = 30,
     scale: int = 1,
+    downsample: int = 1,
     uniqueness_min: float | None = None,
     median: bool = True,
 ) -> dict:
@@ -89,6 +90,20 @@ def evaluate_pair(
 
     a = read_png_gray(a_path)
     b = read_png_gray(b_path)
+    while downsample > 1:
+        # 2x2 box mean: evaluate a large render at a coarser sampling
+        # (pair 5's 4K-native Mosaic grid exceeds the session's remote
+        # compile budget; at downsample=2 its programs are pair 4's,
+        # already compiled).  The caller passes the correspondingly
+        # halved ``scale``.
+        a = a[: a.shape[0] // 2 * 2, : a.shape[1] // 2 * 2]
+        b = b[: b.shape[0] // 2 * 2, : b.shape[1] // 2 * 2]
+        a = (a[0::2, 0::2].astype(np.int32) + a[1::2, 0::2]
+             + a[0::2, 1::2] + a[1::2, 1::2]) // 4
+        b = (b[0::2, 0::2].astype(np.int32) + b[1::2, 0::2]
+             + b[0::2, 1::2] + b[1::2, 1::2]) // 4
+        a, b = a.astype(np.uint8), b.astype(np.uint8)
+        downsample //= 2
 
     sw = square_width * scale
     sw += 1 - sw % 2  # odd
@@ -162,6 +177,11 @@ def main() -> int:
     p.add_argument("--conf-frac", type=float, default=0.7)
     p.add_argument("--uniqueness-min", type=float, default=None)
     p.add_argument("--dump-dir", default=None)
+    p.add_argument("--downsample", type=int, default=1,
+                   help="2x2-box-downsample the pair this many times "
+                        "before evaluating (scale shrinks to match); "
+                        "--pairs 5 --downsample 2 evaluates the 4K pair "
+                        "at pair 4's cached program geometry")
     p.add_argument("--max-scale", type=int, default=8,
                    help="cap the per-pair render scale used to size the "
                         "search ranges: pair 5's native 16x would need "
@@ -185,12 +205,14 @@ def main() -> int:
         d = os.path.join(REF_IMGS, match[0])
         # Render scale relative to the 240x135 base fixture; the modern
         # disparity range scales with it (power-of-2 for int8 storage).
-        scale = min(2 ** (n - 1), args.max_scale)
+        scale = min(max(1, 2 ** (n - 1) // args.downsample),
+                    args.max_scale)
         res = evaluate_pair(
             os.path.join(d, "a.png"), os.path.join(d, "b.png"),
             disparities=args.disparities * scale, window=args.window,
             sgm_directions=args.sgm_directions, conf_frac=args.conf_frac,
-            scale=scale, uniqueness_min=args.uniqueness_min,
+            scale=scale, downsample=args.downsample,
+            uniqueness_min=args.uniqueness_min,
         )
         disp = res.pop("modern_disparity")
         web = res.pop("classic_web")
