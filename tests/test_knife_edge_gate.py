@@ -50,6 +50,10 @@ pytestmark = pytest.mark.skipif(
 # each an exact rational tie 2|ka-kb| == (3/20)(ka+kb) (measured; see
 # tools/knife_edge.py header).  Interior pixels, so wrap and ghost agree.
 PINNED_EDGES1 = {(56, 67), (77, 233), (106, 129)}
+# Fixture 2 (480x270): tie COUNTS per artifact (both modes; every one
+# margin-0.0).  Counts, not coordinates — a second size anchors the
+# ~1e-4 tie-density scaling without double maintenance.
+PINNED_FIX2_COUNTS = {"edges-1": 7, "edges-2": 3}
 
 
 def _knife_edge():
@@ -124,6 +128,37 @@ def test_fixture1_divergence_pinned_and_gated(tmp_path, mode, src, subdir):
     )
     assert n_tie == 3
     assert n_ok == len(ke.DOWNSTREAM)
+
+
+@pytest.mark.parametrize(
+    "mode,src,subdir",
+    [
+        (BoundaryMode.WRAP, "stereo.c", "ser"),
+        (BoundaryMode.GHOST, "stereo-ghost.c", "sergh"),
+    ],
+)
+def test_fixture2_tie_counts_pinned(tmp_path, mode, src, subdir):
+    """Second-size anchor: fixture 2's divergence stays at 7+3 proven
+    exact ties per mode (the tie density holds at ~1e-4 of pixels
+    across the fixture ladder — 3/10/44 at the three sizes measured
+    live on TPU, docs/BENCHMARKS.md round 5)."""
+    ke = _knife_edge()
+    fix2 = os.path.join(REF, "test/imgs/2-480x270")
+    if not os.path.isdir(fix2):
+        pytest.skip("fixture 2 unavailable")
+    binary = _build(src, f"ref-{subdir}")
+    (tmp_path / subdir).mkdir()
+    subprocess.run(
+        [binary, f"{fix2}/a.png", f"{fix2}/b.png"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    for name, img in (("edges-1", "a"), ("edges-2", "b")):
+        ref_e = ke.edges_from_ppm(str(tmp_path / subdir / f"{name}.ppm"))
+        br = to_brightness(read_png_gray(f"{fix2}/{img}.png"))
+        our_e = oracle.find_edges(br, 0.15, mode, rule="exact")
+        diffs = ke.classify_edge_diffs(br, ref_e, our_e, "0.15", mode)
+        assert len(diffs) == PINNED_FIX2_COUNTS[name], (name, diffs)
+        assert all(d.is_tie and d.margin == 0.0 for d in diffs)
 
 
 def test_gate_rejects_non_tie_divergence(tmp_path):
